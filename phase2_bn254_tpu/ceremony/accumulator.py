@@ -1,0 +1,260 @@
+"""Batched powers-of-tau accumulator: generate / transform / verify / decompress.
+
+Backend-agnostic port-free reimplementation of
+/root/reference/powersoftau/src/batched_accumulator.rs. Bulk point math is
+delegated to a pluggable backend (exact host backend for golden tests, JAX/TPU
+backend for production); file bytes are identical either way.
+
+File layout: see ceremony.params.CeremonyParams.position.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import BinaryIO
+
+from ..refimpl import curve as rc
+from ..refimpl.pairing import same_ratio
+from .keypair import PrivateKey, PublicKey, compute_g2_s
+from .params import CeremonyParams
+
+log = logging.getLogger(__name__)
+
+_G1_KINDS = ("tau_g1", "alpha_g1", "beta_g1")
+
+
+def _group_of(kind: str) -> str:
+    return "g2" if kind in ("tau_g2", "beta_g2") else "g1"
+
+
+def _read_elements(
+    f: BinaryIO, params: CeremonyParams, kind: str, start: int, count: int, compressed: bool
+) -> bytes:
+    esize = params.element_size(kind, compressed)
+    f.seek(params.position(kind, start, compressed))
+    raw = f.read(esize * count)
+    assert len(raw) == esize * count, f"short read for {kind}[{start}:{start + count}]"
+    return raw
+
+
+def _write_elements(
+    f: BinaryIO, params: CeremonyParams, kind: str, start: int, raw: bytes, compressed: bool
+) -> None:
+    f.seek(params.position(kind, start, compressed))
+    f.write(raw)
+
+
+def generate_initial(f: BinaryIO, params: CeremonyParams, compressed: bool = False) -> None:
+    """All-generator initial accumulator (batched_accumulator.rs:1295-1347).
+
+    Every element is the G1/G2 generator, so this is pure byte replication -
+    no backend needed.
+    """
+    g1 = rc.point_to_bytes(rc.G1_GEN, compressed)
+    g2 = rc.point_to_bytes(rc.G2_GEN, compressed)
+    _write_elements(f, params, "tau_g1", 0, g1 * params.powers_g1_length, compressed)
+    _write_elements(f, params, "tau_g2", 0, g2 * params.powers_length, compressed)
+    _write_elements(f, params, "alpha_g1", 0, g1 * params.powers_length, compressed)
+    _write_elements(f, params, "beta_g1", 0, g1 * params.powers_length, compressed)
+    _write_elements(f, params, "beta_g2", 0, g2, compressed)
+
+
+def transform(
+    fin: BinaryIO,
+    fout: BinaryIO,
+    params: CeremonyParams,
+    key: PrivateKey,
+    backend,
+    input_compressed: bool = False,
+    output_compressed: bool = True,
+    check_input: bool = False,
+) -> None:
+    """Multiply element i by tau^i (and alpha/beta coefficients)
+    (batched_accumulator.rs:1119-1292)."""
+    for start, size in params.chunks("low"):
+        for kind, coeff in (
+            ("tau_g1", None),
+            ("tau_g2", None),
+            ("alpha_g1", key.alpha),
+            ("beta_g1", key.beta),
+        ):
+            raw = _read_elements(fin, params, kind, start, size, input_compressed)
+            batch = backend.decode(raw, _group_of(kind), size, input_compressed, check_input)
+            batch = backend.pow_mul(batch, key.tau, start, coeff)
+            _write_elements(
+                fout, params, kind, start, backend.encode(batch, output_compressed), output_compressed
+            )
+        # beta_g2 ^= beta (same value every chunk; write once)
+        if start == 0:
+            raw = _read_elements(fin, params, "beta_g2", 0, 1, input_compressed)
+            beta_g2 = rc.point_from_bytes(raw, "g2", input_compressed, check=check_input)
+            beta_g2 = beta_g2.mul(key.beta)
+            assert not beta_g2.is_zero(), "contribution produced infinity, re-run"
+            _write_elements(
+                fout, params, "beta_g2", 0, rc.point_to_bytes(beta_g2, output_compressed), output_compressed
+            )
+        log.info("transform: processed low-region powers up to %d", start + size - 1)
+
+    for start, size in params.chunks("high"):
+        raw = _read_elements(fin, params, "tau_g1", start, size, input_compressed)
+        batch = backend.decode(raw, "g1", size, input_compressed, check_input)
+        batch = backend.pow_mul(batch, key.tau, start, None)
+        _write_elements(
+            fout, params, "tau_g1", start, backend.encode(batch, output_compressed), output_compressed
+        )
+        log.info("transform: processed high-region powers up to %d", start + size - 1)
+
+
+def _power_pairs_check(backend, batch, g2_pair: tuple[rc.Point, rc.Point]) -> bool:
+    """same_ratio(power_pairs(v), g2_pair)
+    (/root/reference/powersoftau/src/utils.rs:112-135): random linear
+    combination of v[:-1] vs v[1:] with shared coefficients."""
+    s, sx = backend.power_pairs(batch)
+    return same_ratio((s, sx), g2_pair)
+
+
+def _power_pairs_check_g2(backend, batch, g1_pair: tuple[rc.Point, rc.Point]) -> bool:
+    s, sx = backend.power_pairs(batch)
+    # same_ratio with G2 on the left swaps pairing sides
+    if s.is_zero() or sx.is_zero() or g1_pair[0].is_zero() or g1_pair[1].is_zero():
+        return False
+    from ..refimpl.pairing import pairing
+
+    return pairing(g1_pair[1], s) == pairing(g1_pair[0], sx)
+
+
+def verify_transformation(
+    fin: BinaryIO,
+    fout: BinaryIO,
+    pubkey: PublicKey,
+    digest: bytes,
+    params: CeremonyParams,
+    backend,
+    input_compressed: bool = False,
+    output_compressed: bool = True,
+    check_input: bool = False,
+    check_output: bool = True,
+) -> bool:
+    """batched_accumulator.rs:277-541. `digest` is the challenge-file hash."""
+    assert len(digest) == 64
+
+    tau_g2_s = compute_g2_s(digest, pubkey.tau_g1[0], pubkey.tau_g1[1], 0)
+    alpha_g2_s = compute_g2_s(digest, pubkey.alpha_g1[0], pubkey.alpha_g1[1], 1)
+    beta_g2_s = compute_g2_s(digest, pubkey.beta_g1[0], pubkey.beta_g1[1], 2)
+
+    # proofs of knowledge for tau/alpha/beta
+    if not same_ratio(pubkey.tau_g1, (tau_g2_s, pubkey.tau_g2)):
+        log.error("invalid tau PoK ratio")
+        return False
+    if not same_ratio(pubkey.alpha_g1, (alpha_g2_s, pubkey.alpha_g2)):
+        log.error("invalid alpha PoK ratio")
+        return False
+    if not same_ratio(pubkey.beta_g1, (beta_g2_s, pubkey.beta_g2)):
+        log.error("invalid beta PoK ratio")
+        return False
+
+    def head(f, compressed, check, kind, count=2):
+        raw = _read_elements(f, params, kind, 0, count, compressed)
+        esize = params.element_size(kind, compressed)
+        return [
+            rc.point_from_bytes(raw[i * esize : (i + 1) * esize], _group_of(kind), compressed, check)
+            for i in range(count)
+        ]
+
+    b_tau_g1 = head(fin, input_compressed, check_input, "tau_g1")
+    a_tau_g1 = head(fout, output_compressed, check_output, "tau_g1")
+    a_tau_g2 = head(fout, output_compressed, check_output, "tau_g2")
+    b_alpha = head(fin, input_compressed, check_input, "alpha_g1", 1)
+    a_alpha = head(fout, output_compressed, check_output, "alpha_g1", 1)
+    b_beta = head(fin, input_compressed, check_input, "beta_g1", 1)
+    a_beta = head(fout, output_compressed, check_output, "beta_g1", 1)
+    b_beta_g2 = head(fin, input_compressed, check_input, "beta_g2", 1)[0]
+    a_beta_g2 = head(fout, output_compressed, check_output, "beta_g2", 1)[0]
+
+    if a_tau_g1[0] != rc.G1_GEN:
+        log.error("tau_powers_g1[0] != generator")
+        return False
+    if a_tau_g2[0] != rc.G2_GEN:
+        log.error("tau_powers_g2[0] != generator")
+        return False
+    if not same_ratio((b_tau_g1[1], a_tau_g1[1]), (tau_g2_s, pubkey.tau_g2)):
+        log.error("tau update ratio mismatch")
+        return False
+    if not same_ratio((b_alpha[0], a_alpha[0]), (alpha_g2_s, pubkey.alpha_g2)):
+        log.error("alpha update ratio mismatch")
+        return False
+    if not same_ratio((b_beta[0], a_beta[0]), (beta_g2_s, pubkey.beta_g2)):
+        log.error("beta update ratio mismatch")
+        return False
+    if not same_ratio((b_beta[0], a_beta[0]), (b_beta_g2, a_beta_g2)):
+        log.error("beta_g2 update ratio mismatch")
+        return False
+
+    g2_pair = (a_tau_g2[0], a_tau_g2[1])
+    g1_pair = (a_tau_g1[0], a_tau_g1[1])
+
+    # chunked power_pairs spot checks with one-element overlap
+    seam = [None, None]
+    for start, size in params.chunks("low"):
+        end = start + size - 1
+        rsize = size + (0 if end == params.powers_length - 1 else 1)
+        batches = {}
+        for kind in ("tau_g1", "tau_g2", "alpha_g1", "beta_g1"):
+            raw = _read_elements(fout, params, kind, start, rsize, output_compressed)
+            batches[kind] = backend.decode(
+                raw, _group_of(kind), rsize, output_compressed, check_output
+            )
+        if not _power_pairs_check(backend, batches["tau_g1"], g2_pair):
+            log.error("tau_g1 power_pairs failed at chunk %d", start)
+            return False
+        if not _power_pairs_check_g2(backend, batches["tau_g2"], g1_pair):
+            log.error("tau_g2 power_pairs failed at chunk %d", start)
+            return False
+        if not _power_pairs_check(backend, batches["alpha_g1"], g2_pair):
+            log.error("alpha_tau_g1 power_pairs failed at chunk %d", start)
+            return False
+        if not _power_pairs_check(backend, batches["beta_g1"], g2_pair):
+            log.error("beta_tau_g1 power_pairs failed at chunk %d", start)
+            return False
+        if end == params.powers_length - 1:
+            seam[0] = backend.last_point(batches["tau_g1"])
+        log.info("verify: low region processed up to %d", end)
+
+    for start, size in params.chunks("high"):
+        end = start + size - 1
+        rsize = size + (0 if end == params.powers_g1_length - 1 else 1)
+        raw = _read_elements(fout, params, "tau_g1", start, rsize, output_compressed)
+        batch = backend.decode(raw, "g1", rsize, output_compressed, check_output)
+        if not _power_pairs_check(backend, batch, g2_pair):
+            log.error("tau_g1 power_pairs failed at high chunk %d", start)
+            return False
+        if start == params.powers_length:
+            seam[1] = backend.first_point(batch)
+        log.info("verify: high region processed up to %d", end)
+
+    # seam between the two regions (batched_accumulator.rs:533-539)
+    seam_batch = backend.from_points(seam, "g1")
+    if not _power_pairs_check(backend, seam_batch, g2_pair):
+        log.error("tau_g1 region-seam power_pairs failed")
+        return False
+    return True
+
+
+def decompress(
+    fin: BinaryIO, fout: BinaryIO, params: CeremonyParams, backend, check_input: bool = False
+) -> None:
+    """Compressed response -> uncompressed new challenge
+    (batched_accumulator.rs:543-618)."""
+    for start, size in params.chunks("low"):
+        for kind in ("tau_g1", "tau_g2", "alpha_g1", "beta_g1"):
+            raw = _read_elements(fin, params, kind, start, size, True)
+            batch = backend.decode(raw, _group_of(kind), size, True, check_input)
+            _write_elements(fout, params, kind, start, backend.encode(batch, False), False)
+        if start == 0:
+            raw = _read_elements(fin, params, "beta_g2", 0, 1, True)
+            p = rc.point_from_bytes(raw, "g2", True, check=check_input)
+            _write_elements(fout, params, "beta_g2", 0, rc.point_to_bytes(p, False), False)
+    for start, size in params.chunks("high"):
+        raw = _read_elements(fin, params, "tau_g1", start, size, True)
+        batch = backend.decode(raw, "g1", size, True, check_input)
+        _write_elements(fout, params, "tau_g1", start, backend.encode(batch, False), False)

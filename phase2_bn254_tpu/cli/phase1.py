@@ -1,0 +1,233 @@
+"""Phase-1 ceremony command-line tools.
+
+Byte-compatible reimplementations of the six powersoftau binaries
+(/root/reference/powersoftau/src/bin/): new_constrained, compute_constrained,
+beacon_constrained, verify_transform_constrained (reduce_powers and
+prepare_phase2 arrive with the NTT stack).
+
+The ceremony "API" is files on disk: challenge/response with a 64-byte
+Blake2b hash-chain header.
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import sys
+
+from ..ceremony import accumulator
+from ..ceremony.keypair import PublicKey, keypair
+from ..ceremony.params import HASH_SIZE, CeremonyParams
+from ..crypto.chacha import ChaChaRng
+from ..crypto.hashing import calculate_hash, pretty_hash
+
+
+def _default_backend():
+    """JAX backend if available, exact host backend otherwise."""
+    try:
+        from ..ops.backend import JaxBackend
+
+        return JaxBackend()
+    except Exception as e:  # pragma: no cover
+        print(f"warning: JAX backend unavailable ({e}); using exact host backend")
+        from ..refimpl.backend import ExactBackend
+
+        return ExactBackend()
+
+
+def participant_rng(entropy: str, system_entropy: bytes | None = None) -> ChaChaRng:
+    """compute_constrained.rs:41-80: Blake2b(1024 OsRng bytes || user text),
+    first 32 digest bytes as 8 BE u32 seed words."""
+    if system_entropy is None:
+        system_entropy = os.urandom(1024)
+    assert len(system_entropy) == 1024
+    h = hashlib.blake2b()
+    h.update(system_entropy)
+    h.update(entropy.encode())
+    return ChaChaRng.from_digest_be(h.digest())
+
+
+def beacon_rng(beacon_hash_hex: str, iterations_exp: int, progress: bool = True) -> ChaChaRng:
+    """beacon_constrained.rs:51-97: 2^n iterated SHA-256 over the beacon."""
+    cur = bytes.fromhex(beacon_hash_hex)
+    assert len(cur) == 32
+    n = iterations_exp
+    for i in range(1 << n):
+        if progress and n >= 10 and i % (1 << (n - 10)) == 0:
+            print(f"{i}: {cur.hex()}")
+        cur = hashlib.sha256(cur).digest()
+    print(f"Final result of beacon: {cur.hex()}")
+    return ChaChaRng.from_digest_be(cur)
+
+
+def new_challenge(challenge_path: str, size: int, batch: int) -> bytes:
+    """new_constrained.rs:14-103; returns the Blake2b hash of the file."""
+    params = CeremonyParams(size, batch)
+    with open(challenge_path, "wb") as f:
+        f.truncate(params.accumulator_size)
+        f.seek(0)
+        f.write(hashlib.blake2b(b"").digest())
+        accumulator.generate_initial(f, params, compressed=False)
+    digest = calculate_hash(challenge_path)
+    return digest
+
+
+def contribute(
+    challenge_path: str,
+    response_path: str,
+    size: int,
+    batch: int,
+    rng: ChaChaRng,
+    backend=None,
+) -> bytes:
+    """compute_constrained.rs:18-237: uncompressed challenge in, compressed
+    response (accumulator + public key) out. Returns the response hash."""
+    params = CeremonyParams(size, batch)
+    backend = backend or _default_backend()
+
+    if os.path.getsize(challenge_path) != params.accumulator_size:
+        raise ValueError("challenge file has wrong size")
+
+    challenge_hash = calculate_hash(challenge_path)
+    print("`challenge` file contains decompressed points and has a hash:")
+    print(pretty_hash(challenge_hash))
+
+    pubkey, privkey = keypair(rng, challenge_hash)
+
+    with open(challenge_path, "rb") as fin, open(response_path, "wb") as fout:
+        fout.truncate(params.contribution_size)
+        fout.seek(0)
+        fout.write(challenge_hash)
+        accumulator.transform(
+            fin,
+            fout,
+            params,
+            privkey,
+            backend,
+            input_compressed=False,
+            output_compressed=True,
+            check_input=False,
+        )
+        fout.seek(params.pubkey_position(output_is_compressed=True))
+        fout.write(pubkey.serialize())
+
+    response_hash = calculate_hash(response_path)
+    print("Your contribution has been written; response hash:")
+    print(pretty_hash(response_hash))
+    return response_hash
+
+
+def verify_transform(
+    challenge_path: str,
+    response_path: str,
+    new_challenge_path: str,
+    size: int,
+    batch: int,
+    backend=None,
+) -> bytes:
+    """verify_transform_constrained.rs:18-255. Returns new challenge hash."""
+    params = CeremonyParams(size, batch)
+    backend = backend or _default_backend()
+
+    if os.path.getsize(challenge_path) != params.accumulator_size:
+        raise ValueError("challenge file has wrong size")
+    if os.path.getsize(response_path) != params.contribution_size:
+        raise ValueError("response file has wrong size")
+
+    challenge_hash = calculate_hash(challenge_path)
+    with open(response_path, "rb") as f:
+        response_claimed_hash = f.read(HASH_SIZE)
+    if response_claimed_hash != challenge_hash:
+        raise ValueError("hash chain failure: response is not based on this challenge")
+
+    response_hash = calculate_hash(response_path)
+
+    with open(response_path, "rb") as f:
+        f.seek(params.pubkey_position(output_is_compressed=True))
+        pubkey = PublicKey.deserialize(f.read(params.public_key_size))
+
+    with open(challenge_path, "rb") as fin, open(response_path, "rb") as fout:
+        ok = accumulator.verify_transformation(
+            fin,
+            fout,
+            pubkey,
+            challenge_hash,
+            params,
+            backend,
+            input_compressed=False,
+            output_compressed=True,
+            check_input=False,
+            check_output=True,
+        )
+    if not ok:
+        raise ValueError("INVALID CONTRIBUTION")
+    print("Verification succeeded! Writing new challenge file...")
+
+    with open(response_path, "rb") as fin, open(new_challenge_path, "wb") as fnew:
+        fnew.truncate(params.accumulator_size)
+        fnew.seek(0)
+        fnew.write(response_hash)
+        accumulator.decompress(fin, fnew, params, backend, check_input=False)
+
+    new_hash = calculate_hash(new_challenge_path)
+    print("New challenge hash:")
+    print(pretty_hash(new_hash))
+    return new_hash
+
+
+# ---------------------------------------------------------------------------
+# argv entry points (argv layout matches the reference binaries)
+# ---------------------------------------------------------------------------
+
+def main_new(argv=None):
+    ap = argparse.ArgumentParser(prog="new_constrained")
+    ap.add_argument("challenge_file")
+    ap.add_argument("circuit_power", type=int)
+    ap.add_argument("batch_size", type=int)
+    a = ap.parse_args(argv)
+    h = new_challenge(a.challenge_file, a.circuit_power, a.batch_size)
+    print("Empty contribution is formed with a hash:")
+    print(pretty_hash(h))
+
+
+def main_compute(argv=None):
+    ap = argparse.ArgumentParser(prog="compute_constrained")
+    ap.add_argument("challenge_file")
+    ap.add_argument("response_file")
+    ap.add_argument("circuit_power", type=int)
+    ap.add_argument("batch_size", type=int)
+    ap.add_argument("--entropy", default=None, help="skip the interactive prompt")
+    a = ap.parse_args(argv)
+    entropy = a.entropy
+    if entropy is None:
+        print("Type some random text and press [ENTER] to provide additional entropy...")
+        entropy = sys.stdin.readline()
+    rng = participant_rng(entropy)
+    contribute(a.challenge_file, a.response_file, a.circuit_power, a.batch_size, rng)
+
+
+def main_beacon(argv=None):
+    ap = argparse.ArgumentParser(prog="beacon_constrained")
+    ap.add_argument("challenge_file")
+    ap.add_argument("response_file")
+    ap.add_argument("circuit_power", type=int)
+    ap.add_argument("batch_size", type=int)
+    ap.add_argument("beacon_hash", help="32-byte hex beacon value")
+    ap.add_argument("num_iterations_exp", type=int)
+    a = ap.parse_args(argv)
+    rng = beacon_rng(a.beacon_hash, a.num_iterations_exp)
+    contribute(a.challenge_file, a.response_file, a.circuit_power, a.batch_size, rng)
+
+
+def main_verify(argv=None):
+    ap = argparse.ArgumentParser(prog="verify_transform_constrained")
+    ap.add_argument("challenge_file")
+    ap.add_argument("response_file")
+    ap.add_argument("new_challenge_file")
+    ap.add_argument("circuit_power", type=int)
+    ap.add_argument("batch_size", type=int)
+    a = ap.parse_args(argv)
+    verify_transform(
+        a.challenge_file, a.response_file, a.new_challenge_file, a.circuit_power, a.batch_size
+    )
