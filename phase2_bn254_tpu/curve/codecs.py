@@ -1,0 +1,337 @@
+"""Point codecs bridging file bytes <-> device limb batches.
+
+Byte format is pinned by the exact spec in refimpl.curve (big-endian
+canonical coordinates with flag bits in the top byte,
+/root/reference/pairing/src/bn256/ec.rs:763-946,1135-1330):
+
+* G1 uncompressed 64B: x||y, bit6(byte0) = infinity
+* G1 compressed  32B: x, bit7 = y lexicographically largest, bit6 = infinity
+* G2 uncompressed 128B: x.c1||x.c0||y.c1||y.c0
+* G2 compressed  64B: x.c1||x.c0 with the same flags
+
+Host numpy does the byte swizzle; decompression square roots and
+canonical-order comparisons run vectorized on device. Accumulator decoding
+rejects points at infinity (batched_accumulator.rs:985-991).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import fp
+from ..field.fq2 import Fq2Ops, FqOps
+from ..refimpl.field import Q
+from . import group as G
+
+CTX = fp.FpContext(Q, "fq")
+FQ = FqOps(CTX)
+FQ2 = Fq2Ops(CTX)
+
+_Q_BYTES = np.frombuffer(Q.to_bytes(32, "big"), dtype=np.uint8).astype(np.int16)
+
+# curve coefficients in Montgomery form (device constants)
+_B_G1 = jnp.asarray(fp.int_to_limbs(CTX.to_mont_int(3)))
+from ..refimpl.field import B_G2 as _B_G2_VAL  # 3/(9+u)
+
+_B_G2 = jnp.stack(
+    [
+        jnp.asarray(fp.int_to_limbs(CTX.to_mont_int(_B_G2_VAL.c0))),
+        jnp.asarray(fp.int_to_limbs(CTX.to_mont_int(_B_G2_VAL.c1))),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# host byte swizzles
+# ---------------------------------------------------------------------------
+
+def be_bytes_to_digits(arr: np.ndarray) -> np.ndarray:
+    """uint8 (n, 32) big-endian -> uint32 (n, 16) LE 16-bit digits."""
+    n = arr.shape[0]
+    pairs = arr.reshape(n, 16, 2).astype(np.uint32)
+    be16 = (pairs[..., 0] << 8) | pairs[..., 1]
+    return be16[:, ::-1].copy()
+
+
+def digits_to_be_bytes(d: np.ndarray) -> np.ndarray:
+    """uint32 (n, 16) LE digits -> uint8 (n, 32) big-endian bytes."""
+    n = d.shape[0]
+    be16 = d[:, ::-1]
+    out = np.empty((n, 16, 2), dtype=np.uint8)
+    out[..., 0] = (be16 >> 8) & 0xFF
+    out[..., 1] = be16 & 0xFF
+    return out.reshape(n, 32)
+
+
+def _check_lt_q(arr: np.ndarray, what: str) -> None:
+    """Reject coordinates >= q (ff `from_repr` error semantics)."""
+    d = arr.astype(np.int16) - _Q_BYTES[None, :]
+    nz = d != 0
+    first = np.argmax(nz, axis=1)
+    has = nz.any(axis=1)
+    val = d[np.arange(arr.shape[0]), first]
+    ok = has & (val < 0)
+    if not ok.all():
+        raise ValueError(f"{what}: coordinate not below field modulus")
+
+
+# ---------------------------------------------------------------------------
+# device kernels (jitted; shapes keyed by batch size)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _g1_from_canonical(x_dig, y_dig, check: bool):
+    x = fp.to_mont(CTX, x_dig)
+    y = fp.to_mont(CTX, y_dig)
+    if check:
+        rhs = fp.add(CTX, fp.mont_mul(CTX, fp.mont_mul(CTX, x, x), x), _B_G1)
+        on_curve = fp.eq(fp.mont_mul(CTX, y, y), rhs)
+    else:
+        on_curve = jnp.ones(x.shape[:-1], dtype=bool)
+    inf = jnp.zeros(x.shape[:-1], dtype=bool)
+    return G.AffineBatch(x, y, inf), on_curve
+
+
+@jax.jit
+def _g1_decompress(x_dig, greatest):
+    """x digits + greatest flag -> point; valid iff x^3+b is a QR."""
+    x = fp.to_mont(CTX, x_dig)
+    rhs = fp.add(CTX, fp.mont_mul(CTX, fp.mont_mul(CTX, x, x), x), _B_G1)
+    y = fp.pow_fixed(CTX, rhs, (Q + 1) // 4)
+    valid = fp.eq(fp.mont_mul(CTX, y, y), rhs)
+    neg_y = fp.neg(CTX, y)
+    y_can = fp.from_mont(CTX, y)
+    ny_can = fp.from_mont(CTX, neg_y)
+    y_is_greatest = fp.gt(y_can, ny_can)
+    y_sel = fp.select(y_is_greatest == greatest, y, neg_y)
+    inf = jnp.zeros(x.shape[:-1], dtype=bool)
+    return G.AffineBatch(x, y_sel, inf), valid
+
+
+@jax.jit
+def _g1_to_canonical(x, y):
+    y_can = fp.from_mont(CTX, y)
+    ny_can = fp.from_mont(CTX, fp.neg(CTX, y))
+    return fp.from_mont(CTX, x), y_can, fp.gt(y_can, ny_can)
+
+
+def _fq2_gt(a_can, b_can):
+    """Fq2 canonical ordering: c1 first then c0 (fq2.rs:21-30)."""
+    c1_gt = fp.gt(a_can[..., 1, :], b_can[..., 1, :])
+    c1_eq = fp.eq(a_can[..., 1, :], b_can[..., 1, :])
+    c0_gt = fp.gt(a_can[..., 0, :], b_can[..., 0, :])
+    return c1_gt | (c1_eq & c0_gt)
+
+
+def _fq2_from_mont(a):
+    return jnp.stack(
+        [fp.from_mont(CTX, a[..., 0, :]), fp.from_mont(CTX, a[..., 1, :])], axis=-2
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _g2_from_canonical(x_dig, y_dig, check: bool):
+    x = jnp.stack([fp.to_mont(CTX, x_dig[..., 0, :]), fp.to_mont(CTX, x_dig[..., 1, :])], axis=-2)
+    y = jnp.stack([fp.to_mont(CTX, y_dig[..., 0, :]), fp.to_mont(CTX, y_dig[..., 1, :])], axis=-2)
+    if check:
+        rhs = FQ2.add(FQ2.mul(FQ2.sqr(x), x), _B_G2)
+        on_curve = FQ2.eq(FQ2.sqr(y), rhs)
+    else:
+        on_curve = jnp.ones(x.shape[:-2], dtype=bool)
+    inf = jnp.zeros(x.shape[:-2], dtype=bool)
+    return G.AffineBatch(x, y, inf), on_curve
+
+
+@jax.jit
+def _g2_decompress(x_dig, greatest):
+    """Fq2 square root per the reference's Algorithm 9 (eprint 2012/685)
+    implementation (fq2.rs:211-258), vectorized with masks."""
+    x = jnp.stack([fp.to_mont(CTX, x_dig[..., 0, :]), fp.to_mont(CTX, x_dig[..., 1, :])], axis=-2)
+    v = FQ2.add(FQ2.mul(FQ2.sqr(x), x), _B_G2)  # rhs = x^3 + b
+
+    a1 = FQ2.pow_fixed(v, (Q - 3) // 4)
+    alpha = FQ2.mul(FQ2.sqr(a1), v)
+    a0 = FQ2.mul(FQ2.conjugate(alpha), alpha)
+
+    batch = x.shape[:-2]
+    neg1 = FQ2.pack(CTX.const(Q - 1, batch), CTX.zeros(batch))
+    u_elem = FQ2.pack(CTX.zeros(batch), CTX.ones_mont(batch))
+
+    is_nonresidue = FQ2.eq(a0, neg1)
+    alpha_is_neg1 = FQ2.eq(alpha, neg1)
+
+    a1v = FQ2.mul(a1, v)
+    y_branch1 = FQ2.mul(a1v, u_elem)
+    b = FQ2.pow_fixed(FQ2.add(alpha, FQ2.ones(batch)), (Q - 1) // 2)
+    y_branch2 = FQ2.mul(a1v, b)
+    y = FQ2.select(alpha_is_neg1, y_branch1, y_branch2)
+
+    valid = FQ2.eq(FQ2.sqr(y), v) & ~is_nonresidue
+    neg_y = FQ2.neg(y)
+    y_can = _fq2_from_mont(y)
+    ny_can = _fq2_from_mont(neg_y)
+    y_is_greatest = _fq2_gt(y_can, ny_can)
+    y_sel = FQ2.select(y_is_greatest == greatest, y, neg_y)
+    inf = jnp.zeros(batch, dtype=bool)
+    return G.AffineBatch(x, y_sel, inf), valid
+
+
+@jax.jit
+def _g2_to_canonical(x, y):
+    y_can = _fq2_from_mont(y)
+    ny_can = _fq2_from_mont(FQ2.neg(y))
+    return _fq2_from_mont(x), y_can, _fq2_gt(y_can, ny_can)
+
+
+# ---------------------------------------------------------------------------
+# public codec API
+# ---------------------------------------------------------------------------
+
+def decode_batch(raw: bytes, group: str, count: int, compressed: bool, check: bool) -> G.AffineBatch:
+    """Bytes -> device AffineBatch (Montgomery form). Raises on infinity,
+    out-of-field coordinates, off-curve (check=True), or bad QR decompression.
+    """
+    esize = (32 if group == "g1" else 64) * (1 if compressed else 2)
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(count, esize).copy()
+    flags = arr[:, 0]
+    if np.any(flags & 0x40):
+        raise ValueError("point at infinity in accumulator stream")
+    greatest = (flags & 0x80) != 0
+    if not compressed and np.any(greatest):
+        raise ValueError("compression flag set on uncompressed point")
+    arr[:, 0] &= 0x3F
+
+    if group == "g1":
+        if compressed:
+            x = arr
+            _check_lt_q(x, "g1.x")
+            batch, valid = _g1_decompress(
+                jnp.asarray(be_bytes_to_digits(x)), jnp.asarray(greatest)
+            )
+        else:
+            x, y = arr[:, :32], arr[:, 32:]
+            _check_lt_q(x, "g1.x")
+            _check_lt_q(y, "g1.y")
+            batch, valid = _g1_from_canonical(
+                jnp.asarray(be_bytes_to_digits(x)), jnp.asarray(be_bytes_to_digits(y)), check
+            )
+    else:
+        if compressed:
+            xc1, xc0 = arr[:, :32], arr[:, 32:64]
+            _check_lt_q(xc0, "g2.x.c0")
+            _check_lt_q(xc1, "g2.x.c1")
+            xd = jnp.stack(
+                [jnp.asarray(be_bytes_to_digits(xc0)), jnp.asarray(be_bytes_to_digits(xc1))],
+                axis=-2,
+            )
+            batch, valid = _g2_decompress(xd, jnp.asarray(greatest))
+        else:
+            xc1, xc0 = arr[:, :32], arr[:, 32:64]
+            yc1, yc0 = arr[:, 64:96], arr[:, 96:128]
+            for nm, c in (("x.c0", xc0), ("x.c1", xc1), ("y.c0", yc0), ("y.c1", yc1)):
+                _check_lt_q(c, f"g2.{nm}")
+            xd = jnp.stack(
+                [jnp.asarray(be_bytes_to_digits(xc0)), jnp.asarray(be_bytes_to_digits(xc1))],
+                axis=-2,
+            )
+            yd = jnp.stack(
+                [jnp.asarray(be_bytes_to_digits(yc0)), jnp.asarray(be_bytes_to_digits(yc1))],
+                axis=-2,
+            )
+            batch, valid = _g2_from_canonical(xd, yd, check)
+
+    if not bool(jnp.all(valid)):
+        raise ValueError(f"invalid {group} point in stream (off-curve or non-QR)")
+    return batch
+
+
+def encode_batch(batch: G.AffineBatch, group: str, compressed: bool) -> bytes:
+    """Device AffineBatch -> bytes. Infinity is not permitted (the ceremony
+    asserts against it everywhere)."""
+    infs = np.asarray(batch.inf)
+    if infs.any():
+        raise ValueError("point at infinity cannot be serialized into the accumulator")
+    if group == "g1":
+        xd, yd, greatest = _g1_to_canonical(batch.x, batch.y)
+        xb = digits_to_be_bytes(np.asarray(xd))
+        if compressed:
+            out = xb
+            out[:, 0] |= np.where(np.asarray(greatest), 0x80, 0).astype(np.uint8)
+        else:
+            out = np.concatenate([xb, digits_to_be_bytes(np.asarray(yd))], axis=1)
+        return out.tobytes()
+    xd, yd, greatest = _g2_to_canonical(batch.x, batch.y)
+    xd, yd = np.asarray(xd), np.asarray(yd)
+    xb = np.concatenate(
+        [digits_to_be_bytes(xd[:, 1]), digits_to_be_bytes(xd[:, 0])], axis=1
+    )
+    if compressed:
+        out = xb
+        out[:, 0] |= np.where(np.asarray(greatest), 0x80, 0).astype(np.uint8)
+    else:
+        yb = np.concatenate(
+            [digits_to_be_bytes(yd[:, 1]), digits_to_be_bytes(yd[:, 0])], axis=1
+        )
+        out = np.concatenate([xb, yb], axis=1)
+    return out.tobytes()
+
+
+# -- host Point <-> batch bridges (few-element boundary use only) -----------
+
+def batch_to_points(batch: G.AffineBatch, group: str):
+    from ..refimpl import curve as rc
+    from ..refimpl.field import Fq2
+
+    xs, ys, infs = np.asarray(batch.x), np.asarray(batch.y), np.asarray(batch.inf)
+    pts = []
+    for i in range(infs.shape[0]):
+        if infs[i]:
+            pts.append(rc.point_zero(group))
+        elif group == "g1":
+            pts.append(
+                rc.Point(
+                    CTX.from_mont_int(fp.limbs_to_int(xs[i])),
+                    CTX.from_mont_int(fp.limbs_to_int(ys[i])),
+                    False,
+                    "g1",
+                )
+            )
+        else:
+            pts.append(
+                rc.Point(
+                    Fq2(
+                        CTX.from_mont_int(fp.limbs_to_int(xs[i, 0])),
+                        CTX.from_mont_int(fp.limbs_to_int(xs[i, 1])),
+                    ),
+                    Fq2(
+                        CTX.from_mont_int(fp.limbs_to_int(ys[i, 0])),
+                        CTX.from_mont_int(fp.limbs_to_int(ys[i, 1])),
+                    ),
+                    False,
+                    "g2",
+                )
+            )
+    return pts
+
+
+def points_to_batch(points, group: str) -> G.AffineBatch:
+    from ..refimpl.field import Fq2
+
+    def fq_arr(vals):
+        return jnp.asarray(
+            np.stack([fp.int_to_limbs(CTX.to_mont_int(v)) for v in vals])
+        )
+
+    if group == "g1":
+        x = fq_arr([p.x if not p.inf else 0 for p in points])
+        y = fq_arr([p.y if not p.inf else 1 for p in points])
+    else:
+        xs = [p.x if not p.inf else Fq2(0, 0) for p in points]
+        ys = [p.y if not p.inf else Fq2(1, 0) for p in points]
+        x = jnp.stack([fq_arr([v.c0 for v in xs]), fq_arr([v.c1 for v in xs])], axis=-2)
+        y = jnp.stack([fq_arr([v.c0 for v in ys]), fq_arr([v.c1 for v in ys])], axis=-2)
+    return G.AffineBatch(x, y, jnp.asarray([p.inf for p in points]))

@@ -1,0 +1,185 @@
+"""JAX/TPU backend for the ceremony accumulator bulk math.
+
+This is the production compute path: batches of points are decoded to limb
+arrays, multiplied by tau-power scalars with the vectorized windowed ladder,
+normalized with one batched inverse, and re-encoded - everything inside a
+handful of jitted programs. Batches are padded to fixed power-of-two shapes
+so each program compiles once.
+
+Replaces: taupowers scan + per-point wNAF batch_exp
+(/root/reference/powersoftau/src/batched_accumulator.rs:1130-1216) and the
+random-coefficient merge_pairs MSM
+(/root/reference/powersoftau/src/utils.rs:112-135).
+"""
+
+from __future__ import annotations
+
+import functools
+import secrets
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..curve import codecs
+from ..curve import group as G
+from ..field import fp
+from ..field.fq2 import Fq2Ops, FqOps
+from ..refimpl.field import Q, R_MOD
+
+CTX_Q = codecs.CTX
+CTX_R = fp.FpContext(R_MOD, "fr")
+FQ = codecs.FQ
+FQ2 = codecs.FQ2
+
+
+def _next_pow2(n: int, minimum: int = 32) -> int:
+    p = minimum
+    while p < n:
+        p <<= 1
+    return p
+
+
+@dataclass
+class PointSet:
+    """Padded device point batch; only the first `n` entries are live."""
+
+    batch: G.AffineBatch
+    n: int
+    group: str
+
+
+def _field_ops(group: str):
+    return FQ if group == "g1" else FQ2
+
+
+def _pad_batch(batch: G.AffineBatch, group: str, target: int) -> G.AffineBatch:
+    n = batch.inf.shape[0]
+    if n == target:
+        return batch
+    pad = target - n
+    gen = codecs.points_to_batch(
+        [_generator(group)] * pad, group
+    )
+    return G.AffineBatch(
+        jnp.concatenate([batch.x, gen.x], axis=0),
+        jnp.concatenate([batch.y, gen.y], axis=0),
+        jnp.concatenate([batch.inf, gen.inf], axis=0),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _generator(group: str):
+    from ..refimpl import curve as rc
+
+    return rc.G1_GEN if group == "g1" else rc.G2_GEN
+
+
+# ---------------------------------------------------------------------------
+# jitted programs
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _pow_mul_kernel(f, log2n: int, batch: G.AffineBatch, tau_start, tau_pows, coeff):
+    """batch[i] * (coeff * tau^(start+i)) over a 2^log2n padded batch.
+
+    tau_start: Fr Montgomery limbs of tau^start; tau_pows[j] = tau^(2^j);
+    coeff: Fr Montgomery limbs (one for no coefficient).
+    """
+    powers = tau_start[None]  # (1, 16)
+    for j in range(log2n):
+        powers = jnp.concatenate(
+            [powers, fp.mont_mul(CTX_R, powers, tau_pows[j][None])], axis=0
+        )
+    powers = fp.mont_mul(CTX_R, powers, coeff[None])
+    scalars = fp.from_mont(CTX_R, powers)
+    acc = G.batch_scalar_mul(f, batch, scalars)
+    return G.jac_normalize(f, acc)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _msm_kernel(f, batch: G.AffineBatch, scalars):
+    """Sum_i scalars[i] * batch[i] over a power-of-two batch (tree reduce).
+
+    Correctness-first MSM used by verification's merge_pairs; the
+    Pippenger/ICI implementation in ops/msm.py supersedes this for scale.
+    """
+    acc = G.batch_scalar_mul(f, batch, scalars)
+    n = batch.inf.shape[0]
+    while n > 1:
+        n //= 2
+        acc = G.jac_add(
+            f,
+            jax.tree.map(lambda a: a[:n], acc),
+            jax.tree.map(lambda a: a[n:], acc),
+        )
+    return G.jac_normalize(f, acc)
+
+
+class JaxBackend:
+    """Ceremony bulk-math backend over JAX (TPU or CPU)."""
+
+    name = "jax"
+
+    # -- protocol ----------------------------------------------------------
+    def decode(self, raw: bytes, group: str, count: int, compressed: bool, check: bool):
+        batch = codecs.decode_batch(raw, group, count, compressed, check)
+        return PointSet(batch, count, group)
+
+    def encode(self, ps: PointSet, compressed: bool) -> bytes:
+        live = jax.tree.map(lambda a: a[: ps.n], ps.batch)
+        return codecs.encode_batch(live, ps.group, compressed)
+
+    def pow_mul(self, ps: PointSet, tau: int, start: int, coeff: int | None) -> PointSet:
+        target = _next_pow2(ps.n)
+        log2n = target.bit_length() - 1
+        padded = _pad_batch(ps.batch, ps.group, target)
+        tau_start = jnp.asarray(
+            fp.int_to_limbs(CTX_R.to_mont_int(pow(tau, start, R_MOD)))
+        )
+        tau_pows = jnp.asarray(
+            np.stack(
+                [
+                    fp.int_to_limbs(CTX_R.to_mont_int(pow(tau, 1 << j, R_MOD)))
+                    for j in range(max(log2n, 1))
+                ]
+            )
+        )
+        coeff_arr = jnp.asarray(
+            fp.int_to_limbs(CTX_R.to_mont_int(coeff if coeff is not None else 1))
+        )
+        aff = _pow_mul_kernel(_field_ops(ps.group), log2n, padded, tau_start, tau_pows, coeff_arr)
+        if bool(np.asarray(aff.inf)[: ps.n].any()):
+            raise AssertionError("contribution produced a point at infinity, re-run")
+        return PointSet(aff, ps.n, ps.group)
+
+    def msm(self, ps: PointSet, scalars: list[int]):
+        """Random-coefficient MSM -> single affine host Point."""
+        assert len(scalars) == ps.n
+        target = _next_pow2(ps.n)
+        padded = _pad_batch(ps.batch, ps.group, target)
+        sc = np.zeros((target, fp.NLIMBS), dtype=np.uint32)
+        for i, s in enumerate(scalars):
+            sc[i] = fp.int_to_limbs(s % R_MOD)
+        out = _msm_kernel(_field_ops(ps.group), padded, jnp.asarray(sc))
+        return codecs.batch_to_points(out, ps.group)[0]
+
+    def power_pairs(self, ps: PointSet):
+        """(merge_pairs of v[:-1] vs v[1:]) with shared random coefficients."""
+        m = ps.n - 1
+        coeffs = [secrets.randbelow(R_MOD) for _ in range(m)]
+        head = PointSet(jax.tree.map(lambda a: a[:m], ps.batch), m, ps.group)
+        tail = PointSet(jax.tree.map(lambda a: a[1 : ps.n], ps.batch), m, ps.group)
+        return self.msm(head, coeffs), self.msm(tail, coeffs)
+
+    def first_point(self, ps: PointSet):
+        return codecs.batch_to_points(jax.tree.map(lambda a: a[:1], ps.batch), ps.group)[0]
+
+    def last_point(self, ps: PointSet):
+        return codecs.batch_to_points(
+            jax.tree.map(lambda a: a[ps.n - 1 : ps.n], ps.batch), ps.group
+        )[0]
+
+    def from_points(self, points, group: str):
+        return PointSet(codecs.points_to_batch(points, group), len(points), group)
