@@ -249,12 +249,26 @@ def decode_batch(raw: bytes, group: str, count: int, compressed: bool, check: bo
     return batch
 
 
-def encode_batch(batch: G.AffineBatch, group: str, compressed: bool) -> bytes:
-    """Device AffineBatch -> bytes. Infinity is not permitted (the ceremony
-    asserts against it everywhere)."""
+def encode_batch(
+    batch: G.AffineBatch, group: str, compressed: bool, allow_infinity: bool = False
+) -> bytes:
+    """Device AffineBatch -> bytes. The accumulator never serializes points
+    at infinity; radix files may (allow_infinity=True) with the 0x40 flag."""
     infs = np.asarray(batch.inf)
     if infs.any():
-        raise ValueError("point at infinity cannot be serialized into the accumulator")
+        if not allow_infinity:
+            raise ValueError("point at infinity cannot be serialized into the accumulator")
+        out = np.frombuffer(
+            encode_batch(
+                G.AffineBatch(batch.x, batch.y, jnp.zeros_like(batch.inf)),
+                group,
+                compressed,
+            ),
+            dtype=np.uint8,
+        ).reshape(infs.shape[0], -1).copy()
+        out[infs] = 0
+        out[infs, 0] = 0x40
+        return out.tobytes()
     if group == "g1":
         xd, yd, greatest = _g1_to_canonical(batch.x, batch.y)
         xb = digits_to_be_bytes(np.asarray(xd))

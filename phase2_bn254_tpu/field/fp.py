@@ -34,6 +34,25 @@ MONT_BITS = NLIMBS * LIMB_BITS  # 256
 
 U32 = jnp.uint32
 
+import os as _os
+
+_UNROLL_ENV = _os.environ.get("PHASE2_TPU_UNROLL", "auto")
+
+
+def _unrolled() -> bool:
+    """Whether to fully unroll limb loops at trace time.
+
+    Unrolled bodies fuse into a handful of launches (TPU runtime wins ~50x by
+    removing per-iteration dispatch); rolled loops keep traced programs small
+    (CPU test compiles stay seconds). Auto: unroll everywhere except the CPU
+    backend. Override with PHASE2_TPU_UNROLL=0/1.
+    """
+    if _UNROLL_ENV in ("0", "false"):
+        return False
+    if _UNROLL_ENV in ("1", "true"):
+        return True
+    return jax.default_backend() != "cpu"
+
 
 def int_to_limbs(v: int) -> np.ndarray:
     """Python int -> uint32[16] little-endian 16-bit limbs (host)."""
@@ -98,6 +117,14 @@ class FpContext:
 
 def _carry_canonicalize(t: jnp.ndarray) -> jnp.ndarray:
     """uint32 accumulator digits -> canonical 16-bit digits (value < 2^256)."""
+    if _unrolled():
+        digits = []
+        c = jnp.zeros(t.shape[:-1], dtype=U32)
+        for j in range(NLIMBS):
+            v = t[..., j] + c
+            digits.append(v & LIMB_MASK)
+            c = v >> LIMB_BITS
+        return jnp.stack(digits, axis=-1)
     tt = jnp.moveaxis(t, -1, 0)  # (16, ...)
 
     def step(c, d):
@@ -112,6 +139,14 @@ def _sub_limbs(a: jnp.ndarray, b_limbs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.n
     """(a - b) over canonical digits; returns (diff_digits, final_borrow)."""
     aa = jnp.moveaxis(a, -1, 0).astype(jnp.int32)
     bb = jnp.moveaxis(jnp.broadcast_to(b_limbs, a.shape), -1, 0).astype(jnp.int32)
+    if _unrolled():
+        borrow = jnp.zeros(aa.shape[1:], dtype=jnp.int32)
+        digits = []
+        for j in range(NLIMBS):
+            d = aa[j] - bb[j] - borrow
+            borrow = (d < 0).astype(jnp.int32)
+            digits.append((d + (borrow << LIMB_BITS)).astype(U32))
+        return jnp.stack(digits, axis=-1), borrow
 
     def step(borrow, ab):
         ai, bi = ab
@@ -128,6 +163,14 @@ def _add_limbs(a: jnp.ndarray, b_limbs: jnp.ndarray) -> jnp.ndarray:
     invariants)."""
     aa = jnp.moveaxis(a, -1, 0)
     bb = jnp.moveaxis(jnp.broadcast_to(b_limbs, a.shape), -1, 0)
+    if _unrolled():
+        carry = jnp.zeros(aa.shape[1:], dtype=U32)
+        digits = []
+        for j in range(NLIMBS):
+            v = aa[j] + bb[j] + carry
+            digits.append(v & LIMB_MASK)
+            carry = v >> LIMB_BITS
+        return jnp.stack(digits, axis=-1)
 
     def step(carry, ab):
         ai, bi = ab
@@ -171,7 +214,12 @@ def mont_mul(ctx: FpContext, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         return t.at[..., 0].add(carry)
 
     t0 = jnp.zeros((*shape, NLIMBS + 1), dtype=U32)
-    t = jax.lax.fori_loop(0, NLIMBS, round_, t0, unroll=4)
+    if _unrolled():
+        t = t0
+        for i in range(NLIMBS):
+            t = round_(i, t)
+    else:
+        t = jax.lax.fori_loop(0, NLIMBS, round_, t0, unroll=4)
     # result value < 2p < 2^255: top accumulator digit is consumed by the
     # carry ripple across the low 16 digits
     res = _carry_canonicalize(t[..., :NLIMBS])

@@ -183,3 +183,53 @@ class JaxBackend:
 
     def from_points(self, points, group: str):
         return PointSet(codecs.points_to_batch(points, group), len(points), group)
+
+    # -- prepare_phase2 support -------------------------------------------
+    def slice(self, ps: PointSet, start: int, stop: int) -> PointSet:
+        assert 0 <= start <= stop <= ps.n
+        return PointSet(
+            jax.tree.map(lambda a: a[start:stop], ps.batch), stop - start, ps.group
+        )
+
+    def concat(self, parts: list[PointSet]) -> PointSet:
+        group = parts[0].group
+        batches = [jax.tree.map(lambda a: a[: p.n], p.batch) for p in parts]
+        batch = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *batches)
+        return PointSet(batch, sum(p.n for p in parts), group)
+
+    def group_intt(self, ps: PointSet) -> PointSet:
+        """Lagrange conversion: inverse group NTT + batch normalization
+        (prepare_phase2.rs:102-131). May produce points at infinity."""
+        from . import ntt
+
+        exp = ps.n.bit_length() - 1
+        assert 1 << exp == ps.n
+        f = _field_ops(ps.group)
+        jac = G.affine_to_jac(f, ps.batch)
+        out = ntt.group_ntt_staged(f, exp, jac, inverse=True)
+        return PointSet(_normalize_kernel(f, out), ps.n, ps.group)
+
+    def sub_batches(self, a: PointSet, b: PointSet) -> PointSet:
+        """a[i] - b[i], normalized (the H-query bases tau^(i+m) - tau^i,
+        prepare_phase2.rs:137-148)."""
+        assert a.n == b.n and a.group == b.group
+        f = _field_ops(a.group)
+        out = _sub_kernel(f, a.batch, b.batch)
+        return PointSet(out, a.n, a.group)
+
+    def encode_radix(self, ps: PointSet, compressed: bool = False) -> bytes:
+        """Uncompressed encode permitting points at infinity (radix files)."""
+        live = jax.tree.map(lambda a: a[: ps.n], ps.batch)
+        return codecs.encode_batch(live, ps.group, compressed, allow_infinity=True)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _normalize_kernel(f, jac: G.JacobianBatch) -> G.AffineBatch:
+    return G.jac_normalize(f, jac)
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def _sub_kernel(f, a: G.AffineBatch, b: G.AffineBatch) -> G.AffineBatch:
+    ja = G.affine_to_jac(f, a)
+    jb = G.affine_to_jac(f, b)
+    return G.jac_normalize(f, G.jac_add(f, ja, G.jac_neg(f, jb)))

@@ -1,0 +1,172 @@
+"""Circom circuit import and snarkjs-format JSON / Solidity exporters.
+
+Mirrors /root/reference/phase2/src/circom_circuit.rs and the decimal-string
+JSON helpers of phase2/src/utils.rs:124-185. The circuit.json schema is the
+circom 0.0.35 output: {"constraints": [[{var: coeff}, ...] x3, ...],
+"nPubInputs": n, "nOutputs": n, "nVars": n}.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Optional
+
+from ..groth16.containers import Parameters, Proof
+from ..groth16.cs import LinearCombination, Variable
+from ..refimpl import curve as rc
+from ..refimpl.field import R_MOD
+from ..refimpl.pairing import ate_pairing, fq12_to_tower_coeffs
+
+
+@dataclass
+class CircomCircuit:
+    num_inputs: int  # includes the "one" variable
+    num_aux: int
+    num_constraints: int
+    constraints: list[tuple[list[tuple[int, int]], list[tuple[int, int]], list[tuple[int, int]]]]
+    witness: Optional[list[int]] = None
+
+    # -- loading ------------------------------------------------------------
+    @classmethod
+    def from_json(cls, data: dict) -> "CircomCircuit":
+        """circom_circuit.rs:332-365."""
+        num_inputs = data["nPubInputs"] + data["nOutputs"] + 1
+        num_vars = data["nVars"]
+        num_aux = num_vars - num_inputs
+        constraints = []
+        for c in data["constraints"]:
+            row = []
+            for lc in c[:3]:
+                row.append([(int(k), int(v) % R_MOD) for k, v in lc.items()])
+            constraints.append(tuple(row))
+        return cls(
+            num_inputs=num_inputs,
+            num_aux=num_aux,
+            num_constraints=len(constraints),
+            constraints=constraints,
+        )
+
+    @classmethod
+    def from_json_file(cls, path: str) -> "CircomCircuit":
+        with open(path) as f:
+            return cls.from_json(json.load(f))
+
+    def with_witness(self, witness: list[int]) -> "CircomCircuit":
+        return CircomCircuit(
+            self.num_inputs, self.num_aux, self.num_constraints, self.constraints, witness
+        )
+
+    def get_public_inputs(self) -> Optional[list[int]]:
+        if self.witness is None:
+            return None
+        return self.witness[1 : self.num_inputs]
+
+    # -- synthesis (circom_circuit.rs:135-182) ------------------------------
+    def synthesize(self, cs):
+        w = self.witness
+        for i in range(1, self.num_inputs):
+            cs.alloc_input(None, (lambda i=i: w[i] if w is not None else 1))
+        for i in range(self.num_aux):
+            cs.alloc(None, (lambda i=i: w[i + self.num_inputs] if w is not None else 1))
+
+        def make_var(index):
+            if index < self.num_inputs:
+                return Variable("input", index)
+            return Variable("aux", index - self.num_inputs)
+
+        def make_lc(terms):
+            lc = LinearCombination()
+            for index, coeff in terms:
+                lc = lc + (coeff, make_var(index))
+            return lc
+
+        for a, b, c in self.constraints:
+            cs.enforce(None, make_lc(a), make_lc(b), make_lc(c))
+
+
+def witness_from_json(data) -> list[int]:
+    return [int(x) % R_MOD for x in data]
+
+
+def witness_from_json_file(path: str) -> list[int]:
+    with open(path) as f:
+        return witness_from_json(json.load(f))
+
+
+# ---------------------------------------------------------------------------
+# snarkjs JSON exporters (decimal strings)
+# ---------------------------------------------------------------------------
+
+def p1_to_vec(p: rc.Point) -> list[str]:
+    return [str(p.x), str(p.y), "0" if p.is_zero() else "1"]
+
+
+def p2_to_vec(p: rc.Point) -> list[list[str]]:
+    return [
+        [str(p.x.c0), str(p.x.c1)],
+        [str(p.y.c0), str(p.y.c1)],
+        ["0", "0"] if p.is_zero() else ["1", "0"],
+    ]
+
+
+def pairing_to_vec(coeffs: list[int]) -> list[list[list[str]]]:
+    """12 canonical ints in tower order -> nested decimal-string array."""
+    c = [str(v) for v in coeffs]
+    return [
+        [[c[0], c[1]], [c[2], c[3]], [c[4], c[5]]],
+        [[c[6], c[7]], [c[8], c[9]], [c[10], c[11]]],
+    ]
+
+
+def proof_to_json(proof: Proof) -> str:
+    return json.dumps(
+        {
+            "pi_a": p1_to_vec(proof.a),
+            "pi_b": p2_to_vec(proof.b),
+            "pi_c": p1_to_vec(proof.c),
+            "protocol": "groth",
+        }
+    )
+
+
+def proving_key_json(params: Parameters) -> str:
+    obj = {
+        "a": [p1_to_vec(e) for e in params.a],
+        "b1": [p1_to_vec(e) for e in params.b_g1],
+        "b2": [p2_to_vec(e) for e in params.b_g2],
+        "c": [None] * len(params.vk.ic) + [p1_to_vec(e) for e in params.l],
+        "vk_alfa_1": p1_to_vec(params.vk.alpha_g1),
+        "vk_beta_1": p1_to_vec(params.vk.beta_g1),
+        "vk_delta_1": p1_to_vec(params.vk.delta_g1),
+        "vk_beta_2": p2_to_vec(params.vk.beta_g2),
+        "vk_delta_2": p2_to_vec(params.vk.delta_g2),
+        "h": [p1_to_vec(e) for e in params.h],
+    }
+    return json.dumps(obj)
+
+
+def verification_key_json(params: Parameters) -> str:
+    ab = ate_pairing(params.vk.alpha_g1, params.vk.beta_g2)
+    obj = {
+        "ic": [p1_to_vec(e) for e in params.vk.ic],
+        "vk_alfa_1": p1_to_vec(params.vk.alpha_g1),
+        "vk_beta_2": p2_to_vec(params.vk.beta_g2),
+        "vk_gamma_2": p2_to_vec(params.vk.gamma_g2),
+        "vk_delta_2": p2_to_vec(params.vk.delta_g2),
+        "vk_alfabeta_12": pairing_to_vec(fq12_to_tower_coeffs(ab)),
+        "inputs_count": len(params.vk.ic) - 1,
+        "protocol": "groth",
+    }
+    return json.dumps(obj)
+
+
+def filter_params(params: Parameters) -> Parameters:
+    """circom_circuit.rs filter_params: drop points at infinity from
+    ic/h/a/b_g1/b_g2 (NOT l)."""
+    params.vk.ic = [x for x in params.vk.ic if not x.is_zero()]
+    params.h = [x for x in params.h if not x.is_zero()]
+    params.a = [x for x in params.a if not x.is_zero()]
+    params.b_g1 = [x for x in params.b_g1 if not x.is_zero()]
+    params.b_g2 = [x for x in params.b_g2 if not x.is_zero()]
+    return params

@@ -69,6 +69,42 @@ class ExactBackend:
             acc = jacobian_add(acc, affine_to_jacobian(q))
         return jacobian_to_affine(acc)
 
+    # -- prepare_phase2 support -------------------------------------------
+    def slice(self, batch: list[Point], start: int, stop: int):
+        return batch[start:stop]
+
+    def concat(self, parts):
+        out = []
+        for p in parts:
+            out.extend(p)
+        return out
+
+    def group_intt(self, batch: list[Point]):
+        """Exact inverse DFT: out[i] = m^-1 * sum_j a_j w^(-ij). O(m^2) -
+        spec/golden path only (equality with any correct iFFT)."""
+        from .field import FR_ROOT_OF_UNITY, FR_S
+
+        m = len(batch)
+        exp = m.bit_length() - 1
+        assert 1 << exp == m
+        omega = pow(FR_ROOT_OF_UNITY, 1 << (FR_S - exp), R_MOD)
+        winv = pow(omega, -1, R_MOD)
+        minv = pow(m, -1, R_MOD)
+        out = []
+        for i in range(m):
+            acc = None
+            for j, p in enumerate(batch):
+                term = p.mul((pow(winv, i * j, R_MOD) * minv) % R_MOD)
+                acc = term if acc is None else acc.add(term)
+            out.append(acc)
+        return out
+
+    def sub_batches(self, a: list[Point], b: list[Point]):
+        return [x.add(y.neg()) for x, y in zip(a, b)]
+
+    def encode_radix(self, batch: list[Point], compressed: bool = False) -> bytes:
+        return b"".join(point_to_bytes(p, compressed) for p in batch)
+
     def first_point(self, batch: list[Point]) -> Point:
         return batch[0]
 

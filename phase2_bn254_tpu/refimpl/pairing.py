@@ -194,6 +194,114 @@ def _miller_safe(p: Point, q: Point) -> Fq12:
     return f
 
 
+# ---------------------------------------------------------------------------
+# Optimal ate pairing (the reference's pairing, bn256/mod.rs:29-226)
+#
+# The reduced optimal-ate VALUE is canonical for BN curves, so a from-scratch
+# textbook implementation reproduces the reference's Fq12 output exactly
+# (needed by the snarkjs `vk_alfabeta_12` JSON export,
+# /root/reference/phase2/src/circom_circuit.rs:303-317). The Tate pairing
+# above differs by a fixed power coprime to r - fine for same_ratio booleans,
+# not for serialized values.
+# ---------------------------------------------------------------------------
+
+BN_U = 4965661367192848881  # mod.rs:29
+ATE_LOOP = 6 * BN_U + 2
+
+
+def _emb_point(q: Point) -> tuple[Fq12, Fq12]:
+    return _psi(q)
+
+
+def _fq12_of_fq(v: int) -> Fq12:
+    return (Fq2(v, 0),) + (FQ2_ZERO,) * 5
+
+
+def _emb_double(ax: Fq12, ay: Fq12) -> tuple[Fq12, Fq12, Fq12]:
+    """Affine doubling in E(Fq12); returns (x3, y3, lambda)."""
+    three_x2 = fq12_mul(fq12_mul(ax, ax), _fq12_of_fq(3))
+    lam = fq12_mul(three_x2, fq12_inv(fq12_mul(ay, _fq12_of_fq(2))))
+    x3 = tuple(a - b for a, b in zip(fq12_mul(lam, lam), tuple(2 * c for c in ax)))
+    y3 = tuple(
+        a - b
+        for a, b in zip(fq12_mul(lam, tuple(a - b for a, b in zip(ax, x3))), ay)
+    )
+    return x3, y3, lam
+
+
+def _emb_add(ax: Fq12, ay: Fq12, bx: Fq12, by: Fq12) -> tuple[Fq12, Fq12, Fq12]:
+    """Affine addition (distinct x) in E(Fq12); returns (x3, y3, lambda)."""
+    lam = fq12_mul(
+        tuple(a - b for a, b in zip(by, ay)),
+        fq12_inv(tuple(a - b for a, b in zip(bx, ax))),
+    )
+    x3 = tuple(
+        a - b - c for a, b, c in zip(fq12_mul(lam, lam), ax, bx)
+    )
+    y3 = tuple(
+        a - b
+        for a, b in zip(fq12_mul(lam, tuple(a - b for a, b in zip(ax, x3))), ay)
+    )
+    return x3, y3, lam
+
+
+def miller_loop_ate(p: Point, q: Point) -> Fq12:
+    """f_{6u+2,Q}(P) * l_{T,piQ}(P) * l_{T+piQ,-pi2Q}(P), verticals elided."""
+    qx, qy = _emb_point(q)
+    tx, ty = qx, qy
+    f = FQ12_ONE
+    px, py = p.x, p.y
+    for bit in bin(ATE_LOOP)[3:]:
+        tx2, ty2, lam = _emb_double(tx, ty)
+        f = fq12_mul(fq12_sqr(f), _line_fq12(tx, ty, lam, px, py))
+        tx, ty = tx2, ty2
+        if bit == "1":
+            tx2, ty2, lam = _emb_add(tx, ty, qx, qy)
+            f = fq12_mul(f, _line_fq12(tx, ty, lam, px, py))
+            tx, ty = tx2, ty2
+    # Frobenius correction lines
+    q1x, q1y = fq12_frobenius(qx, 1), fq12_frobenius(qy, 1)
+    q2x, q2y = fq12_frobenius(qx, 2), fq12_frobenius(qy, 2)
+    nq2y = tuple(-c for c in q2y)
+    tx2, ty2, lam = _emb_add(tx, ty, q1x, q1y)
+    f = fq12_mul(f, _line_fq12(tx, ty, lam, px, py))
+    tx, ty = tx2, ty2
+    _, _, lam = _emb_add(tx, ty, q2x, nq2y)
+    f = fq12_mul(f, _line_fq12(tx, ty, lam, px, py))
+    return f
+
+
+def _line_fq12(ax: Fq12, ay: Fq12, lam: Fq12, px: int, py: int) -> Fq12:
+    """Line through A with slope lam, evaluated at P=(px,py) in G1:
+    (py - ay) - lam*(px - ax)."""
+    lam_ax = fq12_mul(lam, ax)
+    lam_px = tuple(ci * px for ci in lam)
+    out = [a - b for a, b in zip(lam_ax, lam_px)]
+    out = [o - a for o, a in zip(out, ay)]
+    out[0] = out[0] + Fq2(py, 0)
+    return tuple(out)
+
+
+def ate_pairing(p: Point, q: Point) -> Fq12:
+    """Reduced optimal ate pairing - the reference's `Bn256::pairing`."""
+    if p.is_zero() or q.is_zero():
+        return FQ12_ONE
+    return final_exponentiation(miller_loop_ate(p, q))
+
+
+def fq12_to_tower_coeffs(a: Fq12) -> list[int]:
+    """Map w-basis coefficients to the reference's Fq6/Fq2 tower layout
+    (c0.c0.c0, c0.c0.c1, c0.c1.c0, ..., c1.c2.c1) as canonical ints - the
+    order used by `pairing_to_vec` (phase2/src/utils.rs:153-185):
+    c0 = a0 + a2 v + a4 v^2, c1 = a1 + a3 v + a5 v^2 (v = w^2, w^3 = v w)."""
+    order = [0, 2, 4, 1, 3, 5]
+    out = []
+    for i in order:
+        out.append(a[i].c0)
+        out.append(a[i].c1)
+    return out
+
+
 def same_ratio(g1_pair: tuple[Point, Point], g2_pair: tuple[Point, Point]) -> bool:
     """e(a, d) == e(b, c) check with the reference's zero-rejection
     (/root/reference/powersoftau/src/utils.rs:151-159)."""
