@@ -1,0 +1,103 @@
+"""Phase-2 MPC end-to-end: ceremony radix files -> MPCParameters ->
+contributions -> verification -> Groth16 proof -> verify.
+
+The framework analog of phase2/test.sh (sans the npm circom/snarkjs steps,
+which need network): new -> contribute x2 -> verify_contribution -> prove ->
+verify, plus serialization round-trips and export formats.
+"""
+
+import json
+
+import pytest
+
+from phase2_bn254_tpu.ceremony.prepare import prepare_phase2
+from phase2_bn254_tpu.cli.phase1 import contribute as p1_contribute
+from phase2_bn254_tpu.cli.phase1 import new_challenge, participant_rng
+from phase2_bn254_tpu.crypto.chacha import ChaChaRng
+from phase2_bn254_tpu.groth16.prover import create_random_proof
+from phase2_bn254_tpu.groth16.verifier import prepare_verifying_key, verify_proof
+from phase2_bn254_tpu.phase2.circom import (
+    CircomCircuit,
+    filter_params,
+    proof_to_json,
+    proving_key_json,
+    verification_key_json,
+)
+from phase2_bn254_tpu.phase2.mpc import MPCParameters, contains_contribution, verify_contribution
+from phase2_bn254_tpu.refimpl.backend import ExactBackend
+
+SIZE, BATCH = 3, 4
+
+CIRCUIT_JSON = {
+    # one multiplication: aux2 * aux3 == public output (var 1)
+    "constraints": [[{"2": "1"}, {"3": "1"}, {"1": "1"}]],
+    "nPubInputs": 0,
+    "nOutputs": 1,
+    "nVars": 4,
+}
+WITNESS = [1, 6, 2, 3]
+
+
+@pytest.fixture(scope="module")
+def radix_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("radix")
+    c1 = str(d / "c1")
+    r1 = str(d / "r1")
+    new_challenge(c1, SIZE, BATCH)
+    rng = participant_rng("phase2 radix", system_entropy=bytes(1024))
+    p1_contribute(c1, r1, SIZE, BATCH, rng, backend=ExactBackend())
+    prepare_phase2(r1, SIZE, BATCH, ExactBackend(), out_dir=str(d))
+    return d
+
+
+def _radix_path_for(d):
+    return lambda exp: str(d / f"phase1radix2m{exp}")
+
+
+def test_phase2_mpc_end_to_end(radix_dir, tmp_path):
+    circuit = CircomCircuit.from_json(CIRCUIT_JSON)
+    mp = MPCParameters.new(circuit, True, _radix_path_for(radix_dir))
+
+    # round-trip serialization
+    data = mp.write()
+    mp2 = MPCParameters.read(data, disallow_points_at_infinity=False, checked=True)
+    assert mp == mp2
+
+    before = MPCParameters.read(data)
+    d1 = mp.contribute(ChaChaRng.from_digest_be(bytes(range(64))))
+    h1 = verify_contribution(before, mp)
+    assert h1 == d1
+
+    mid = MPCParameters.read(mp.write())
+    d2 = mp.contribute(ChaChaRng.from_digest_be(bytes(range(1, 65))))
+    h2 = verify_contribution(mid, mp)
+    assert h2 == d2
+
+    # full transcript verify against the circuit
+    hashes = mp.verify(circuit, True, _radix_path_for(radix_dir))
+    assert contains_contribution(hashes, d1)
+    assert contains_contribution(hashes, d2)
+
+    # tampering with H must be caught
+    bad = MPCParameters.read(mp.write())
+    bad.params.h[0] = bad.params.h[0].double()
+    with pytest.raises(ValueError):
+        verify_contribution(mid, bad)
+
+    # prove + verify
+    params = filter_params(MPCParameters.read(mp.write()).params)
+    witness_circuit = circuit.with_witness(WITNESS)
+    proof = create_random_proof(
+        witness_circuit, params, ChaChaRng.from_digest_be(bytes(range(2, 66)))
+    )
+    pvk = prepare_verifying_key(params.vk)
+    assert verify_proof(pvk, proof, witness_circuit.get_public_inputs())
+    assert not verify_proof(pvk, proof, [7])
+
+    # export formats parse as JSON with expected keys
+    pk = json.loads(proving_key_json(params))
+    vk = json.loads(verification_key_json(params))
+    pj = json.loads(proof_to_json(proof))
+    assert set(pk) >= {"a", "b1", "b2", "c", "h", "vk_alfa_1", "vk_delta_1"}
+    assert set(vk) >= {"ic", "vk_alfabeta_12", "inputs_count", "protocol"}
+    assert pj["protocol"] == "groth"
