@@ -231,3 +231,36 @@ def main_verify(argv=None):
     verify_transform(
         a.challenge_file, a.response_file, a.new_challenge_file, a.circuit_power, a.batch_size
     )
+
+
+def main_prepare_phase2(argv=None):
+    ap = argparse.ArgumentParser(prog="prepare_phase2")
+    ap.add_argument("response_file")
+    ap.add_argument("circuit_power", type=int)
+    ap.add_argument("batch_size", type=int)
+    ap.add_argument("--out-dir", default=".")
+    a = ap.parse_args(argv)
+    from ..ceremony.prepare import prepare_phase2
+
+    prepare_phase2(
+        a.response_file, a.circuit_power, a.batch_size, _default_backend(), out_dir=a.out_dir
+    )
+
+
+def main_reduce_powers(argv=None):
+    ap = argparse.ArgumentParser(prog="reduce_powers")
+    ap.add_argument("challenge_file")
+    ap.add_argument("reduced_challenge_file")
+    ap.add_argument("original_circuit_power", type=int)
+    ap.add_argument("reduced_circuit_power", type=int)
+    ap.add_argument("batch_size", type=int)
+    a = ap.parse_args(argv)
+    from ..ceremony.prepare import reduce_powers
+
+    reduce_powers(
+        a.challenge_file,
+        a.reduced_challenge_file,
+        a.original_circuit_power,
+        a.reduced_circuit_power,
+        a.batch_size,
+    )

@@ -1,0 +1,141 @@
+"""Multi-chip sharded ceremony kernels (jax.sharding Mesh + shard_map).
+
+The reference's only parallelism is a single-node thread pool
+(/root/reference/bellman/src/multicore.rs:17-72); here the batch dimension of
+the accumulator is sharded over a device mesh:
+
+* `sharded_pow_mul`: each device exponentiates its own contiguous slice of
+  tau powers - pure data parallelism, no communication (the TPU analog of
+  Worker::scope chunking over batch_exp,
+  /root/reference/powersoftau/src/batched_accumulator.rs:1130-1216).
+* `sharded_msm`: per-device partial multi-scalar sums combined with an
+  all_gather over ICI + a local tree reduction (the bucket-reduction
+  collective of the Pippenger plan, SURVEY.md section 2.6).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..curve import group as G
+from ..field import fp
+from ..ops.backend import CTX_R, _field_ops
+from ..refimpl.field import R_MOD
+
+AXIS = "batch"
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (AXIS,))
+
+
+def _pow_mul_local(f, log2n_local: int, batch, tau_start_local, tau_pows, coeff):
+    """Per-shard tau-power ladder + batch scalar mul (no collectives)."""
+    powers = tau_start_local[None]
+    for j in range(log2n_local):
+        powers = jnp.concatenate(
+            [powers, fp.mont_mul(CTX_R, powers, tau_pows[j][None])], axis=0
+        )
+    powers = fp.mont_mul(CTX_R, powers, coeff[None])
+    scalars = fp.from_mont(CTX_R, powers)
+    acc = G.batch_scalar_mul(f, batch, scalars)
+    return G.jac_normalize(f, acc)
+
+
+def sharded_pow_mul(mesh: Mesh, group: str, batch: G.AffineBatch, tau: int, start: int, coeff: int | None):
+    """batch[i] * (coeff * tau^(start+i)) with the point batch sharded over
+    the mesh; device d handles the contiguous slice [d*per, (d+1)*per)."""
+    f = _field_ops(group)
+    n = batch.inf.shape[0]
+    ndev = mesh.devices.size
+    assert n % ndev == 0, "batch must divide evenly over the mesh"
+    per = n // ndev
+    log2n_local = per.bit_length() - 1
+    assert 1 << log2n_local == per, "per-device shard must be a power of two"
+
+    # per-device tau^(start + d*per) (host-computed scalars; secret tau stays
+    # in Fr - only its powers ship to devices, same as the reference)
+    tau_starts = np.stack(
+        [
+            fp.int_to_limbs(CTX_R.to_mont_int(pow(tau, start + d * per, R_MOD)))
+            for d in range(ndev)
+        ]
+    )
+    tau_pows = np.stack(
+        [
+            fp.int_to_limbs(CTX_R.to_mont_int(pow(tau, 1 << j, R_MOD)))
+            for j in range(max(log2n_local, 1))
+        ]
+    )
+    coeff_arr = fp.int_to_limbs(CTX_R.to_mont_int(coeff if coeff is not None else 1))
+
+    pspec = _point_pspec(group)
+    fn = shard_map(
+        functools.partial(_pow_mul_local, f, log2n_local),
+        mesh=mesh,
+        in_specs=(
+            pspec,
+            P(AXIS, None),  # tau_starts: one row per device
+            P(None, None),
+            P(None),
+        ),
+        out_specs=pspec,
+        check_vma=False,
+    )
+    return fn(batch, jnp.asarray(tau_starts), jnp.asarray(tau_pows), jnp.asarray(coeff_arr))
+
+
+def _point_pspec(group: str):
+    if group == "g1":
+        coord = P(AXIS, None)
+    else:
+        coord = P(AXIS, None, None)
+    return G.AffineBatch(x=coord, y=coord, inf=P(AXIS))
+
+
+def _msm_local(f, batch, scalars):
+    """Local partial MSM + cross-device combination via all_gather."""
+    acc = G.batch_scalar_mul(f, batch, scalars)
+    n = batch.inf.shape[0]
+    while n > 1:
+        n //= 2
+        acc = G.jac_add(
+            f, jax.tree.map(lambda a: a[:n], acc), jax.tree.map(lambda a: a[n:], acc)
+        )
+    # gather the per-device partials onto every device and tree-reduce
+    gathered = jax.tree.map(
+        lambda a: jax.lax.all_gather(a, AXIS, axis=0, tiled=True), acc
+    )
+    m = gathered.z.shape[0]
+    while m > 1:
+        assert m % 2 == 0, "mesh size must be a power of two"
+        m //= 2
+        gathered = G.jac_add(
+            f,
+            jax.tree.map(lambda a: a[:m], gathered),
+            jax.tree.map(lambda a: a[m:], gathered),
+        )
+    return G.jac_normalize(f, gathered)
+
+
+def sharded_msm(mesh: Mesh, group: str, batch: G.AffineBatch, scalars_canon: jnp.ndarray):
+    """Multi-scalar multiplication with points+scalars sharded over the mesh;
+    returns a replicated single-point AffineBatch (leading axis 1)."""
+    f = _field_ops(group)
+    pspec = _point_pspec(group)
+    out_coord = P(None, None) if group == "g1" else P(None, None, None)
+    fn = shard_map(
+        functools.partial(_msm_local, f),
+        mesh=mesh,
+        in_specs=(pspec, P(AXIS, None)),
+        out_specs=G.AffineBatch(x=out_coord, y=out_coord, inf=P(None)),
+        check_vma=False,
+    )
+    return fn(batch, scalars_canon)

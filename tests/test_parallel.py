@@ -1,0 +1,47 @@
+"""Sharded kernels on the virtual 8-device CPU mesh vs single-device."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from phase2_bn254_tpu.curve import codecs
+from phase2_bn254_tpu.field import fp
+from phase2_bn254_tpu.parallel import sharded
+from phase2_bn254_tpu.refimpl import curve as rc
+from phase2_bn254_tpu.refimpl.field import R_MOD
+
+random.seed(21)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return sharded.make_mesh()
+
+
+def test_sharded_pow_mul_matches_host(mesh):
+    n = 32
+    pts = [rc.G1_GEN.mul(random.randrange(1, R_MOD)) for _ in range(n)]
+    batch = codecs.points_to_batch(pts, "g1")
+    tau = random.randrange(1, R_MOD)
+    out = sharded.sharded_pow_mul(mesh, "g1", batch, tau, start=5, coeff=None)
+    got = codecs.batch_to_points(out, "g1")
+    expect = [p.mul(pow(tau, 5 + i, R_MOD)) for i, p in enumerate(pts)]
+    assert got == expect
+
+
+def test_sharded_msm_matches_host(mesh):
+    n = 16
+    pts = [rc.G1_GEN.mul(random.randrange(1, R_MOD)) for _ in range(n)]
+    scalars = [random.randrange(R_MOD) for _ in range(n)]
+    batch = codecs.points_to_batch(pts, "g1")
+    sc = jnp.asarray(np.stack([fp.int_to_limbs(s) for s in scalars]))
+    out = sharded.sharded_msm(mesh, "g1", batch, sc)
+    got = codecs.batch_to_points(out, "g1")[0]
+    acc = rc.point_zero("g1")
+    for p, s in zip(pts, scalars):
+        acc = acc.add(p.mul(s))
+    assert got == acc
