@@ -53,16 +53,19 @@ def main():
     )
     one = jnp.asarray(fp.int_to_limbs(CTX_R.to_mont_int(1)))
 
+    from phase2_bn254_tpu.ops.backend import _pow_mul_pallas, _use_pallas
+
     f = _field_ops("g1")
+    kern = _pow_mul_pallas if _use_pallas("g1", n) else _pow_mul_kernel
     # compile (np.asarray forces a full device->host sync; block_until_ready
     # alone does not reliably block through the axon tunnel)
-    out = _pow_mul_kernel(f, log2n, batch, tau_start, tau_pows, one)
+    out = kern(f, log2n, batch, tau_start, tau_pows, one)
     np.asarray(out.x)
     # measure
     reps = 3
     t0 = time.time()
     for _ in range(reps):
-        out = _pow_mul_kernel(f, log2n, batch, tau_start, tau_pows, one)
+        out = kern(f, log2n, batch, tau_start, tau_pows, one)
         np.asarray(out.x)
     dt = (time.time() - t0) / reps
     pts_per_s = n / dt

@@ -102,8 +102,8 @@ def _pow_mul_kernel(f, log2n: int, batch: G.AffineBatch, tau_start, tau_pows, co
 def _msm_kernel(f, batch: G.AffineBatch, scalars):
     """Sum_i scalars[i] * batch[i] over a power-of-two batch (tree reduce).
 
-    Correctness-first MSM used by verification's merge_pairs; the
-    Pippenger/ICI implementation in ops/msm.py supersedes this for scale.
+    Naive ladder MSM kept for tiny inputs; ops.msm.msm_pippenger handles
+    real sizes.
     """
     acc = G.batch_scalar_mul(f, batch, scalars)
     n = batch.inf.shape[0]
@@ -115,6 +115,31 @@ def _msm_kernel(f, batch: G.AffineBatch, scalars):
             jax.tree.map(lambda a: a[n:], acc),
         )
     return G.jac_normalize(f, acc)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1))
+def _pow_mul_pallas(f, log2n: int, batch: G.AffineBatch, tau_start, tau_pows, coeff):
+    """pow_mul via the fused Pallas batch-exp kernel (G1, TPU only)."""
+    from . import pallas_exp
+
+    powers = tau_start[None]
+    for j in range(log2n):
+        powers = jnp.concatenate(
+            [powers, fp.mont_mul(CTX_R, powers, tau_pows[j][None])], axis=0
+        )
+    powers = fp.mont_mul(CTX_R, powers, coeff[None])
+    scalars = fp.from_mont(CTX_R, powers)
+    jac = pallas_exp.batch_exp_transposed(batch.x, batch.y, scalars)
+    return G.jac_normalize(f, jac)
+
+
+def _use_pallas(group: str, n: int) -> bool:
+    import os
+
+    if os.environ.get("PHASE2_TPU_NO_PALLAS"):
+        return False
+    # the axon platform reports its own name; anything non-CPU is a TPU here
+    return group == "g1" and n >= 256 and jax.default_backend() != "cpu"
 
 
 class JaxBackend:
@@ -149,20 +174,32 @@ class JaxBackend:
         coeff_arr = jnp.asarray(
             fp.int_to_limbs(CTX_R.to_mont_int(coeff if coeff is not None else 1))
         )
-        aff = _pow_mul_kernel(_field_ops(ps.group), log2n, padded, tau_start, tau_pows, coeff_arr)
+        kern = _pow_mul_pallas if _use_pallas(ps.group, target) else _pow_mul_kernel
+        aff = kern(_field_ops(ps.group), log2n, padded, tau_start, tau_pows, coeff_arr)
         if bool(np.asarray(aff.inf)[: ps.n].any()):
             raise AssertionError("contribution produced a point at infinity, re-run")
         return PointSet(aff, ps.n, ps.group)
 
     def msm(self, ps: PointSet, scalars: list[int]):
-        """Random-coefficient MSM -> single affine host Point."""
+        """Multi-scalar multiplication -> single affine host Point.
+
+        Pippenger for real sizes; tiny inputs use the naive ladder (the
+        Pippenger fixed overhead of 2^c buckets isn't worth it below ~64)."""
         assert len(scalars) == ps.n
         target = _next_pow2(ps.n)
         padded = _pad_batch(ps.batch, ps.group, target)
         sc = np.zeros((target, fp.NLIMBS), dtype=np.uint32)
         for i, s in enumerate(scalars):
             sc[i] = fp.int_to_limbs(s % R_MOD)
-        out = _msm_kernel(_field_ops(ps.group), padded, jnp.asarray(sc))
+        f = _field_ops(ps.group)
+        if target >= 64:
+            from . import msm as msm_mod
+
+            # padding points carry scalar 0 => skipped by the bucket logic
+            jac = msm_mod.msm_pippenger(f, padded, jnp.asarray(sc), msm_mod.pick_window(target))
+            out = _normalize_kernel(f, jax.tree.map(lambda a: a[None], jac))
+        else:
+            out = _msm_kernel(f, padded, jnp.asarray(sc))
         return codecs.batch_to_points(out, ps.group)[0]
 
     def power_pairs(self, ps: PointSet):
