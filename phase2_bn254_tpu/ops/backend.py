@@ -129,7 +129,10 @@ def _pow_mul_pallas(f, log2n: int, batch: G.AffineBatch, tau_start, tau_pows, co
         )
     powers = fp.mont_mul(CTX_R, powers, coeff[None])
     scalars = fp.from_mont(CTX_R, powers)
-    jac = pallas_exp.batch_exp_transposed(batch.x, batch.y, scalars)
+    if f.components == 1:
+        jac = pallas_exp.batch_exp_transposed(batch.x, batch.y, scalars)
+    else:
+        jac = pallas_exp.batch_exp_transposed_g2(batch.x, batch.y, scalars)
     return G.jac_normalize(f, jac)
 
 
@@ -139,7 +142,8 @@ def _use_pallas(group: str, n: int) -> bool:
     if os.environ.get("PHASE2_TPU_NO_PALLAS"):
         return False
     # the axon platform reports its own name; anything non-CPU is a TPU here
-    return group == "g1" and n >= 256 and jax.default_backend() != "cpu"
+    min_n = 256 if group == "g1" else 128
+    return n >= min_n and jax.default_backend() != "cpu"
 
 
 class JaxBackend:

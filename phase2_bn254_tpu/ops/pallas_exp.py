@@ -138,62 +138,117 @@ class TOps:
     def sel(mask, a, b):
         return jnp.where(mask, a, b)
 
-    # -- Jacobian group law -----------------------------------------------
-    def jac_double(self, P):
-        x, y, z = P
-        a = self.mont_mul(x, x)
-        b = self.mont_mul(y, y)
-        c = self.mont_mul(b, b)
-        xb = self.add(x, b)
-        d = self.sub(self.sub(self.mont_mul(xb, xb), a), c)
-        d = self.add(d, d)
-        e = self.add(self.add(a, a), a)
-        f = self.mont_mul(e, e)
-        z3 = self.dbl(self.mont_mul(z, y))
-        x3 = self.sub(f, self.add(d, d))
-        c8 = self.dbl(self.dbl(self.dbl(c)))
-        y3 = self.sub(self.mont_mul(self.sub(d, x3), e), c8)
-        return x3, y3, z3
+    def zero_like(self, a):
+        return jnp.zeros_like(a)
 
-    def jac_add(self, P, Qp):
-        px, py, pz = P
-        qx, qy, qz = Qp
-        p_inf = self.is_zero(pz)
-        q_inf = self.is_zero(qz)
-        z1z1 = self.mont_mul(pz, pz)
-        z2z2 = self.mont_mul(qz, qz)
-        u1 = self.mont_mul(px, z2z2)
-        u2 = self.mont_mul(qx, z1z1)
-        s1 = self.mont_mul(self.mont_mul(py, qz), z2z2)
-        s2 = self.mont_mul(self.mont_mul(qy, pz), z1z1)
-        eq_x = self.eq(u1, u2)
-        eq_y = self.eq(s1, s2)
-        h = self.sub(u2, u1)
-        hh = self.add(h, h)
-        i = self.mont_mul(hh, hh)
-        j = self.mont_mul(h, i)
-        r = self.dbl(self.sub(s2, s1))
-        v = self.mont_mul(u1, i)
-        x3 = self.sub(self.sub(self.mont_mul(r, r), j), self.add(v, v))
-        s1j = self.mont_mul(s1, j)
-        y3 = self.sub(self.mont_mul(self.sub(v, x3), r), self.add(s1j, s1j))
-        zz = self.add(pz, qz)
-        z3 = self.mont_mul(self.sub(self.sub(self.mont_mul(zz, zz), z1z1), z2z2), h)
+    # alias so group-law code reads uniformly over TOps / T2Ops
+    def mul(self, a, b):
+        return self.mont_mul(a, b)
 
-        dx, dy, dz = self.jac_double(P)
-        is_dbl = eq_x & eq_y & ~p_inf & ~q_inf
-        is_cancel = eq_x & ~eq_y & ~p_inf & ~q_inf
-        x = self.sel(is_dbl, dx, x3)
-        y = self.sel(is_dbl, dy, y3)
-        z = self.sel(is_dbl, dz, z3)
-        z = self.sel(is_cancel, jnp.zeros_like(z), z)
-        x = self.sel(q_inf, px, x)
-        y = self.sel(q_inf, py, y)
-        z = self.sel(q_inf, pz, z)
-        x = self.sel(p_inf, qx, x)
-        y = self.sel(p_inf, qy, y)
-        z = self.sel(p_inf, qz, z)
-        return x, y, z
+
+class T2Ops:
+    """Fq2 ops over pairs (c0, c1) of uint32[16, T] planes (fq2.rs tower:
+    u^2 = -1, Karatsuba as fq2.rs:112-204)."""
+
+    def __init__(self, base: TOps):
+        self.f = base
+
+    def mul(self, a, b):
+        f = self.f
+        a0, a1 = a
+        b0, b1 = b
+        v0 = f.mont_mul(a0, b0)
+        v1 = f.mont_mul(a1, b1)
+        c0 = f.sub(v0, v1)
+        t = f.mont_mul(f.add(a0, a1), f.add(b0, b1))
+        c1 = f.sub(f.sub(t, v0), v1)
+        return c0, c1
+
+    def add(self, a, b):
+        return self.f.add(a[0], b[0]), self.f.add(a[1], b[1])
+
+    def sub(self, a, b):
+        return self.f.sub(a[0], b[0]), self.f.sub(a[1], b[1])
+
+    def dbl(self, a):
+        return self.add(a, a)
+
+    def is_zero(self, a):
+        return self.f.is_zero(a[0]) & self.f.is_zero(a[1])
+
+    def eq(self, a, b):
+        return self.f.eq(a[0], b[0]) & self.f.eq(a[1], b[1])
+
+    def sel(self, mask, a, b):
+        return self.f.sel(mask, a[0], b[0]), self.f.sel(mask, a[1], b[1])
+
+    def zero_like(self, a):
+        return jnp.zeros_like(a[0]), jnp.zeros_like(a[1])
+
+
+# -- Jacobian group law, generic over TOps / T2Ops --------------------------
+
+def jac_double(ops, P):
+    x, y, z = P
+    a = ops.mul(x, x)
+    b = ops.mul(y, y)
+    c = ops.mul(b, b)
+    xb = ops.add(x, b)
+    d = ops.sub(ops.sub(ops.mul(xb, xb), a), c)
+    d = ops.add(d, d)
+    e = ops.add(ops.add(a, a), a)
+    f = ops.mul(e, e)
+    z3 = ops.dbl(ops.mul(z, y))
+    x3 = ops.sub(f, ops.add(d, d))
+    c8 = ops.dbl(ops.dbl(ops.dbl(c)))
+    y3 = ops.sub(ops.mul(ops.sub(d, x3), e), c8)
+    return x3, y3, z3
+
+
+def jac_add(ops, P, Qp):
+    px, py, pz = P
+    qx, qy, qz = Qp
+    p_inf = ops.is_zero(pz)
+    q_inf = ops.is_zero(qz)
+    z1z1 = ops.mul(pz, pz)
+    z2z2 = ops.mul(qz, qz)
+    u1 = ops.mul(px, z2z2)
+    u2 = ops.mul(qx, z1z1)
+    s1 = ops.mul(ops.mul(py, qz), z2z2)
+    s2 = ops.mul(ops.mul(qy, pz), z1z1)
+    eq_x = ops.eq(u1, u2)
+    eq_y = ops.eq(s1, s2)
+    h = ops.sub(u2, u1)
+    hh = ops.add(h, h)
+    i = ops.mul(hh, hh)
+    j = ops.mul(h, i)
+    r = ops.dbl(ops.sub(s2, s1))
+    v = ops.mul(u1, i)
+    x3 = ops.sub(ops.sub(ops.mul(r, r), j), ops.add(v, v))
+    s1j = ops.mul(s1, j)
+    y3 = ops.sub(ops.mul(ops.sub(v, x3), r), ops.add(s1j, s1j))
+    zz = ops.add(pz, qz)
+    z3 = ops.mul(ops.sub(ops.sub(ops.mul(zz, zz), z1z1), z2z2), h)
+
+    dx, dy, dz = jac_double(ops, P)
+    is_dbl = eq_x & eq_y & ~p_inf & ~q_inf
+    is_cancel = eq_x & ~eq_y & ~p_inf & ~q_inf
+    x = ops.sel(is_dbl, dx, x3)
+    y = ops.sel(is_dbl, dy, y3)
+    z = ops.sel(is_dbl, dz, z3)
+    z = ops.sel(is_cancel, ops.zero_like(z), z)
+    x = ops.sel(q_inf, px, x)
+    y = ops.sel(q_inf, py, y)
+    z = ops.sel(q_inf, pz, z)
+    x = ops.sel(p_inf, qx, x)
+    y = ops.sel(p_inf, qy, y)
+    z = ops.sel(p_inf, qz, z)
+    return x, y, z
+
+
+# keep method-style access used by the G1 kernel
+TOps.jac_double = lambda self, P: jac_double(self, P)
+TOps.jac_add = lambda self, P, Q: jac_add(self, P, Q)
 
 
 # ---------------------------------------------------------------------------
@@ -267,6 +322,100 @@ def pallas_batch_exp(x_t, y_t, digits_msb, tile: int = 256):
         scratch_shapes=[pltpu.VMEM((16, 3, NLIMBS, tile), U32)],
         interpret=jax.default_backend() == "cpu",
     )(p_col, one_col, x_t, y_t, digits_msb)
+
+
+def _batch_exp_kernel_g2(
+    p_ref, one_ref, x0_ref, x1_ref, y0_ref, y1_ref, dig_ref,
+    ox0_ref, ox1_ref, oy0_ref, oy1_ref, oz0_ref, oz1_ref, table_ref,
+):
+    """G2 variant: Fq2 coordinates as (c0, c1) limb planes; table scratch
+    holds 6 planes per entry (x0,x1,y0,y1,z0,z1)."""
+    T = x0_ref.shape[1]
+    fops = TOps(p_ref[:])
+    ops = T2Ops(fops)
+    onep = one_ref[:]
+    zerop = jnp.zeros((NLIMBS, T), U32)
+    one2 = (onep, zerop)
+    zero2 = (zerop, zerop)
+
+    def store(d_static_or_ds, P):
+        (x0, x1), (y0, y1), (z0, z1) = P
+        planes = (x0, x1, y0, y1, z0, z1)
+        for c, v in enumerate(planes):
+            if isinstance(d_static_or_ds, int):
+                table_ref[d_static_or_ds, c] = v
+            else:
+                table_ref[d_static_or_ds, c] = v[None]
+
+    store(0, (zero2, one2, zero2))
+    base = ((x0_ref[:], x1_ref[:]), (y0_ref[:], y1_ref[:]), one2)
+    store(1, base)
+
+    def build(d, prev):
+        nxt = jac_add(ops, prev, base)
+        store(pl.ds(d, 1), nxt)
+        return nxt
+
+    jax.lax.fori_loop(2, 16, build, base)
+
+    def window(w, acc):
+        acc = jac_double(ops, acc)
+        acc = jac_double(ops, acc)
+        acc = jac_double(ops, acc)
+        acc = jac_double(ops, acc)
+        d = dig_ref[pl.ds(w, 1), :]
+        ex, ey, ez = zero2, one2, zero2
+        for k in range(1, 16):
+            m = d == k
+            ex = ops.sel(m, (table_ref[k, 0], table_ref[k, 1]), ex)
+            ey = ops.sel(m, (table_ref[k, 2], table_ref[k, 3]), ey)
+            ez = ops.sel(m, (table_ref[k, 4], table_ref[k, 5]), ez)
+        return jac_add(ops, acc, (ex, ey, ez))
+
+    acc = jax.lax.fori_loop(0, N_WINDOWS, window, (zero2, one2, zero2))
+    (ox0_ref[:], ox1_ref[:]) = acc[0]
+    (oy0_ref[:], oy1_ref[:]) = acc[1]
+    (oz0_ref[:], oz1_ref[:]) = acc[2]
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def pallas_batch_exp_g2(x0, x1, y0, y1, digits_msb, tile: int = 128):
+    """Transposed Fq2 coordinate planes uint32[16, N] -> Jacobian planes."""
+    n = x0.shape[1]
+    assert n % tile == 0
+    grid = (n // tile,)
+    spec_const = pl.BlockSpec((NLIMBS, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec16 = pl.BlockSpec((NLIMBS, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_dig = pl.BlockSpec((N_WINDOWS, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((NLIMBS, n), U32)] * 6
+    p_col = jnp.broadcast_to(jnp.asarray(_P_LIMBS)[:, None], (NLIMBS, tile))
+    one_col = jnp.broadcast_to(jnp.asarray(_ONE_MONT)[:, None], (NLIMBS, tile))
+    return pl.pallas_call(
+        _batch_exp_kernel_g2,
+        grid=grid,
+        in_specs=[spec_const, spec_const, spec16, spec16, spec16, spec16, spec_dig],
+        out_specs=[spec16] * 6,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((16, 6, NLIMBS, tile), U32)],
+        interpret=jax.default_backend() == "cpu",
+    )(p_col, one_col, x0, x1, y0, y1, digits_msb)
+
+
+def batch_exp_transposed_g2(batch_x, batch_y, scalars_canon, tile: int = 128):
+    """AffineBatch Fq2 coord arrays ((N,2,16) layout) + canonical scalars ->
+    JacobianBatch ((N,2,16) layout) via the fused G2 kernel."""
+    from ..curve import group as G
+
+    digits = G.scalar_windows(scalars_canon)
+    digits_msb = jnp.flip(digits, axis=-1).T.astype(jnp.int32)
+    x0, x1 = batch_x[:, 0].T, batch_x[:, 1].T
+    y0, y1 = batch_y[:, 0].T, batch_y[:, 1].T
+    ox0, ox1, oy0, oy1, oz0, oz1 = pallas_batch_exp_g2(x0, x1, y0, y1, digits_msb, tile)
+
+    def pack(c0, c1):
+        return jnp.stack([c0.T, c1.T], axis=-2)
+
+    return G.JacobianBatch(pack(ox0, ox1), pack(oy0, oy1), pack(oz0, oz1))
 
 
 # ---------------------------------------------------------------------------
