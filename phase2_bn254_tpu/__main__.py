@@ -7,6 +7,12 @@ phase2/src/bin).
 import sys
 
 
+def _transcript_main(argv):
+    from .cli.transcript import main_verify_transcript
+
+    main_verify_transcript(argv)
+
+
 def main():
     from .cli import phase1, phase2 as p2cli
 
@@ -18,6 +24,7 @@ def main():
         "verify_transform_constrained": phase1.main_verify,
         "prepare_phase2": phase1.main_prepare_phase2,
         "reduce_powers": phase1.main_reduce_powers,
+        "verify_transcript": _transcript_main,
         # phase 2
         "new": p2cli.main_new,
         "contribute": p2cli.main_contribute,
