@@ -1,0 +1,119 @@
+"""Distributed radix-2 NTT over a device mesh (four-step / transpose algorithm).
+
+The reference scales its FFT with a two-stage thread decomposition
+(parallel_fft, /root/reference/bellman/src/domain.rs:319-376). The TPU
+equivalent shards the coefficient vector over the mesh and moves the
+cross-shard butterfly strides into all_to_all transposes over ICI:
+
+    N = N1 * N2 coefficients, row-major M[k1][k2] = x[k1*N2 + k2], rows
+    sharded. With j = j2*N1 + j1:
+
+        X[j2*N1 + j1] = DFT2_{k2->j2}( w_N^(j1*k2) * DFT1_{k1->j1}(M)[j1][k2] )
+
+    1. all_to_all transpose -> columns local, DFT_N1 along rows
+    2. twiddle w_N^(j1*k2)
+    3. all_to_all transpose -> DFT_N2 along rows
+    4. final transpose back to natural order
+
+Local DFTs reuse the single-device NTT stages (vmapped); every exchange is a
+single all_to_all, which XLA maps onto the ICI ring.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..field import fp
+from ..ops import ntt as sntt
+from ..refimpl.field import R_MOD
+
+AXIS = "batch"  # reuse the ceremony mesh axis
+
+
+def _local_ntt(exp: int, rows: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    """Row-wise NTT of shape (rows, m, 16). For the inverse transform the two
+    local stages' m^-1 factors multiply to exactly the global 1/N."""
+    return jax.vmap(lambda v: sntt.ntt(exp, v, inverse))(rows)
+
+
+def distributed_ntt(mesh: Mesh, exp: int, coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """NTT of uint32[N, 16] (N = 2^exp) sharded over the mesh's batch axis.
+
+    Returns the natural-order DFT, bit-identical to ops.ntt.ntt.
+    """
+    ndev = mesh.devices.size
+    n = 1 << exp
+    assert coeffs.shape[0] == n
+    # split N = N1 * N2 with N1 = max(ndev, sqrt-ish) divisible by ndev
+    exp1 = max((exp // 2), (ndev - 1).bit_length())
+    exp2 = exp - exp1
+    n1, n2 = 1 << exp1, 1 << exp2
+    assert n1 % ndev == 0 and n1 >= ndev and exp2 >= 0
+
+    d = sntt.Domain(exp)
+    w = d.omegainv if inverse else d.omega
+
+    # full twiddle power table W[t] = w^t for t in [0, N): gathered with
+    # index (j1*k2 mod N). Host-computed Montgomery limbs.
+    table = np.empty((n, fp.NLIMBS), dtype=np.uint32)
+    acc = 1
+    for t in range(n):
+        table[t] = fp.int_to_limbs(sntt.CTX_R.to_mont_int(acc))
+        acc = (acc * w) % R_MOD
+    table_j = jnp.asarray(table)
+
+    def local(x, tw_idx_base):
+        L = fp.NLIMBS
+        r1 = n1 // ndev
+        c2 = n2 // ndev
+        # x: (r1, n2, L) - local rows k1, full k2.
+        # step 1: all_to_all so each device holds a k2-slab complete in k1.
+        xt = jax.lax.all_to_all(
+            x.reshape(r1, ndev, c2, L), AXIS, split_axis=1, concat_axis=0, tiled=False
+        )
+        # xt: (ndev=e, r1=a, c2=c, L); global k1 = e*r1 + a, local k2 col = c
+        xt = xt.reshape(n1, c2, L)  # rows k1 (e-major), cols local k2
+        xt = jnp.swapaxes(xt, 0, 1)  # (c2, n1, L): one row per local k2
+        # DFT over k1 (length n1) along rows -> index j1
+        y = _local_ntt(exp1, xt, inverse)
+        # step 2: twiddle w^(j1 * k2); global k2 passed in tw_idx_base
+        j1 = jnp.arange(n1, dtype=jnp.uint32)[None, :]
+        k2g = tw_idx_base[:, None]
+        tw = table_j[(j1 * k2g) % n]  # (c2, n1, L)
+        y = fp.mont_mul(sntt.CTX_R, y, tw)
+        # step 3: all_to_all so each device holds a j1-slab complete in k2
+        yt = jax.lax.all_to_all(
+            y.reshape(c2, ndev, r1, L), AXIS, split_axis=1, concat_axis=0, tiled=False
+        )
+        # yt: (ndev=e, c2=c, r1=b, L); global k2 = e*c2 + c, local j1 = b
+        yt = yt.reshape(n2, r1, L)
+        yt = jnp.swapaxes(yt, 0, 1)  # (r1, n2, L): one row per local j1
+        # DFT over k2 (length n2) along rows -> index j2
+        z = _local_ntt(exp2, yt, inverse)
+        # step 4: element (j1 = d*r1 + b, j2) must land at flat j2*n1 + j1;
+        # exchange j1-slabs for j2-slabs and reorder to (j2-local, j1) rows.
+        zt = jax.lax.all_to_all(
+            z.reshape(r1, ndev, c2, L), AXIS, split_axis=1, concat_axis=0, tiled=False
+        )
+        # zt: (ndev=e, r1=b, c2=c, L) = value at (j1 = e*r1 + b, j2 = d*c2 + c)
+        zt = jnp.transpose(zt, (2, 0, 1, 3))  # (c2, ndev, r1, L) -> j2-major
+        return zt.reshape(c2 * n1, L)
+
+    # per-device k2 offsets for the twiddle step
+    k2_base = np.arange(n2, dtype=np.uint32)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(AXIS, None, None), P(AXIS)),
+        out_specs=P(AXIS, None),
+        check_vma=False,
+    )
+    out = fn(coeffs.reshape(n1, n2, fp.NLIMBS), jnp.asarray(k2_base))
+    return out.reshape(n, fp.NLIMBS)
