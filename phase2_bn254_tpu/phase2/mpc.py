@@ -282,14 +282,13 @@ def _batch_exp(points: list[rc.Point], coeff: int, backend=None) -> list[rc.Poin
         return []
     if backend is None:
         return [p.mul(coeff) for p in points]
-    from ..ops.backend import PointSet
-    import numpy as np
-    import jax.numpy as jnp
-    from ..field import fp
-    from ..curve import codecs as cd
-    from ..ops.backend import _msm_kernel, _pow_mul_kernel, _next_pow2, _pad_batch, _field_ops
-    from ..curve import group as G
     import jax
+    import jax.numpy as jnp
+
+    from ..curve import codecs as cd
+    from ..curve import group as G
+    from ..field import fp
+    from ..ops.backend import _field_ops, _next_pow2, _pad_batch
 
     group = points[0].group
     ps = backend.from_points(points, group)
