@@ -419,6 +419,146 @@ def batch_exp_transposed_g2(batch_x, batch_y, scalars_canon, tile: int = 128):
 
 
 # ---------------------------------------------------------------------------
+# GLV ladder: k = k1 + k2*lambda, phi(X,Y,Z) = (beta*X, Y, Z)
+# ---------------------------------------------------------------------------
+
+GLV_WINDOWS = 33  # ceil(129+pad / 4) bits of |k1|,|k2|
+
+
+def _batch_exp_glv_kernel(
+    p_ref, one_ref, beta_ref, x_ref, y_ref, d1_ref, d2_ref, neg_ref,
+    ox_ref, oy_ref, oz_ref, table_ref,
+):
+    """Half-length double ladder: per window add table[d1] and
+    phi(table[d2]), with per-lane sign masks (neg_ref rows: 0 -> k1, 1 -> k2).
+    """
+    T = x_ref.shape[1]
+    ops = TOps(p_ref[:])
+    ones = one_ref[:]
+    beta = beta_ref[:]
+    zeros = jnp.zeros((NLIMBS, T), U32)
+
+    table_ref[0, 0] = zeros
+    table_ref[0, 1] = ones
+    table_ref[0, 2] = zeros
+    base = (x_ref[:], y_ref[:], ones)
+    table_ref[1, 0], table_ref[1, 1], table_ref[1, 2] = base
+
+    def build(d, prev):
+        nxt = ops.jac_add(prev, base)
+        table_ref[pl.ds(d, 1), 0] = nxt[0][None]
+        table_ref[pl.ds(d, 1), 1] = nxt[1][None]
+        table_ref[pl.ds(d, 1), 2] = nxt[2][None]
+        return nxt
+
+    jax.lax.fori_loop(2, 16, build, base)
+
+    neg1 = neg_ref[0:1, :] != 0  # (1,T)
+    neg2 = neg_ref[1:2, :] != 0
+
+    def gather(dig_ref, w):
+        d = dig_ref[pl.ds(w, 1), :]
+        ex, ey, ez = zeros, ones, zeros
+        for k in range(1, 16):
+            m = d == k
+            ex = ops.sel(m, table_ref[k, 0], ex)
+            ey = ops.sel(m, table_ref[k, 1], ey)
+            ez = ops.sel(m, table_ref[k, 2], ez)
+        return ex, ey, ez
+
+    def window(w, acc):
+        acc = ops.jac_double(acc)
+        acc = ops.jac_double(acc)
+        acc = ops.jac_double(acc)
+        acc = ops.jac_double(acc)
+        e1x, e1y, e1z = gather(d1_ref, w)
+        e1y = ops.sel(neg1, ops.sub(jnp.zeros_like(e1y), e1y), e1y)
+        acc = ops.jac_add(acc, (e1x, e1y, e1z))
+        e2x, e2y, e2z = gather(d2_ref, w)
+        e2x = ops.mont_mul(e2x, beta)  # phi on Jacobian: scale X
+        e2y = ops.sel(neg2, ops.sub(jnp.zeros_like(e2y), e2y), e2y)
+        acc = ops.jac_add(acc, (e2x, e2y, e2z))
+        return acc
+
+    acc = jax.lax.fori_loop(0, GLV_WINDOWS, window, (zeros, ones, zeros))
+    ox_ref[:], oy_ref[:], oz_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def pallas_batch_exp_glv(x_t, y_t, d1_msb, d2_msb, negs, tile: int = 256):
+    """GLV windowed ladder. d1_msb/d2_msb: int32[33, N] 4-bit windows of
+    |k1|/|k2| (MSB first); negs: int32[2, N] sign flags."""
+    n = x_t.shape[1]
+    assert n % tile == 0
+    grid = (n // tile,)
+    spec_const = pl.BlockSpec((NLIMBS, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec16 = pl.BlockSpec((NLIMBS, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_dig = pl.BlockSpec((GLV_WINDOWS, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_neg = pl.BlockSpec((2, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((NLIMBS, n), U32)] * 3
+    from ..refimpl.glv import BETA
+
+    p_col = jnp.broadcast_to(jnp.asarray(_P_LIMBS)[:, None], (NLIMBS, tile))
+    one_col = jnp.broadcast_to(jnp.asarray(_ONE_MONT)[:, None], (NLIMBS, tile))
+    beta_col = jnp.broadcast_to(
+        jnp.asarray(fp.int_to_limbs(BETA * (1 << 256) % Q))[:, None], (NLIMBS, tile)
+    )
+    return pl.pallas_call(
+        _batch_exp_glv_kernel,
+        grid=grid,
+        in_specs=[spec_const, spec_const, spec_const, spec16, spec16, spec_dig, spec_dig, spec_neg],
+        out_specs=[spec16] * 3,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((16, 3, NLIMBS, tile), U32)],
+        interpret=jax.default_backend() == "cpu",
+    )(p_col, one_col, beta_col, x_t, y_t, d1_msb, d2_msb, negs)
+
+
+def glv_digit_arrays(scalars: list[int]):
+    """Decompose canonical scalars, return (d1_msb, d2_msb, negs) numpy arrays
+    for pallas_batch_exp_glv. Vectorized nibble extraction via to_bytes."""
+    from ..refimpl import glv as rglv
+
+    n = len(scalars)
+    nbytes = (GLV_WINDOWS * 4 + 7) // 8  # 17 bytes
+    raw1 = bytearray(n * nbytes)
+    raw2 = bytearray(n * nbytes)
+    negs = np.zeros((2, n), dtype=np.int32)
+    for i, s in enumerate(scalars):
+        k1, k2 = rglv.decompose(s)
+        if k1 < 0:
+            negs[0, i] = 1
+            k1 = -k1
+        if k2 < 0:
+            negs[1, i] = 1
+            k2 = -k2
+        raw1[i * nbytes : (i + 1) * nbytes] = k1.to_bytes(nbytes, "little")
+        raw2[i * nbytes : (i + 1) * nbytes] = k2.to_bytes(nbytes, "little")
+
+    def nibbles(raw):
+        b = np.frombuffer(bytes(raw), dtype=np.uint8).reshape(n, nbytes)
+        lo = (b & 0xF).astype(np.int32)
+        hi = (b >> 4).astype(np.int32)
+        digs = np.empty((n, nbytes * 2), dtype=np.int32)
+        digs[:, 0::2] = lo
+        digs[:, 1::2] = hi
+        # LSB-first nibble list; keep GLV_WINDOWS, MSB first, transposed
+        return digs[:, :GLV_WINDOWS][:, ::-1].T.copy()
+
+    return nibbles(raw1), nibbles(raw2), negs
+
+
+def batch_exp_transposed_glv(batch_x, batch_y, scalars: list[int], tile: int = 256):
+    from ..curve import group as G
+
+    d1, d2, negs = glv_digit_arrays(scalars)
+    ox, oy, oz = pallas_batch_exp_glv(
+        batch_x.T, batch_y.T, jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(negs), tile
+    )
+    return G.JacobianBatch(ox.T, oy.T, oz.T)
+
+
+# ---------------------------------------------------------------------------
 # host-facing wrapper matching ops.backend conventions
 # ---------------------------------------------------------------------------
 
