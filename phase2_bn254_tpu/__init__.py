@@ -26,9 +26,16 @@ def _enable_compile_cache():
     try:
         import jax
 
+        if jax.config.jax_compilation_cache_dir:
+            return  # respect an explicit setting (e.g. the test conftest)
+        # key the cache by backend platform: CPU AOT artifacts produced by a
+        # remote compile service are machine-specific and SIGILL elsewhere
+        platform = jax.default_backend()
         cache = os.environ.get(
             "PHASE2_TPU_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache", "phase2_bn254_tpu", "jax_cache"),
+            os.path.join(
+                os.path.expanduser("~"), ".cache", "phase2_bn254_tpu", f"jax_cache_{platform}"
+            ),
         )
         jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

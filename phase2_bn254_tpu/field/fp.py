@@ -42,29 +42,27 @@ _UNROLL_ENV = _os.environ.get("PHASE2_TPU_UNROLL", "auto")
 def _unrolled() -> bool:
     """Whether to fully unroll limb loops at trace time.
 
-    Unrolled bodies fuse into a handful of launches (TPU runtime wins ~50x by
-    removing per-iteration dispatch); rolled loops keep traced programs small
-    (CPU test compiles stay seconds). Auto: unroll everywhere except the CPU
-    backend. Override with PHASE2_TPU_UNROLL=0/1.
+    Unrolled bodies fuse into fewer launches (~2x runtime for XLA-path bulk
+    ops) but produce traced programs that take the remote TPU toolchain tens
+    of minutes to compile. The Pallas kernels own the hot loops, so the XLA
+    path defaults to rolled (small programs, fast compiles) everywhere.
+    Override with PHASE2_TPU_UNROLL=1 for unrolled XLA kernels.
     """
-    if _UNROLL_ENV in ("0", "false"):
-        return False
     if _UNROLL_ENV in ("1", "true"):
         return True
-    return jax.default_backend() != "cpu"
+    return False
 
 
-def int_to_limbs(v: int) -> np.ndarray:
-    """Python int -> uint32[16] little-endian 16-bit limbs (host)."""
-    return np.array([(v >> (LIMB_BITS * i)) & LIMB_MASK for i in range(NLIMBS)], dtype=np.uint32)
+def int_to_limbs(v: int, nlimbs: int = NLIMBS) -> np.ndarray:
+    """Python int -> uint32[nlimbs] little-endian 16-bit limbs (host)."""
+    return np.array([(v >> (LIMB_BITS * i)) & LIMB_MASK for i in range(nlimbs)], dtype=np.uint32)
 
 
 def limbs_to_int(a) -> int:
-    """uint32[..., 16] (single element) -> Python int (host)."""
+    """uint32[..., nlimbs] (single element) -> Python int (host)."""
     a = np.asarray(a).reshape(-1)
-    assert a.shape == (NLIMBS,)
     v = 0
-    for i in range(NLIMBS):
+    for i in range(a.shape[0]):
         v |= int(a[i]) << (LIMB_BITS * i)
     return v
 
@@ -72,24 +70,30 @@ def limbs_to_int(a) -> int:
 class FpContext:
     """Per-modulus constants + vectorized ops. Hashable/static for jit."""
 
-    def __init__(self, p: int, name: str):
-        assert p % 2 == 1 and p.bit_length() <= 254
+    def __init__(self, p: int, name: str, nlimbs: int = NLIMBS):
+        assert p % 2 == 1 and p.bit_length() <= LIMB_BITS * nlimbs - 2
         self.p = p
         self.name = name
-        self.r = (1 << MONT_BITS) % p
-        self.r2 = pow(1 << MONT_BITS, 2, p)
-        self.rinv = pow(1 << MONT_BITS, -1, p)
+        self.nlimbs = nlimbs
+        self.mont_bits = LIMB_BITS * nlimbs
+        self.r = (1 << self.mont_bits) % p
+        self.r2 = pow(1 << self.mont_bits, 2, p)
+        self.rinv = pow(1 << self.mont_bits, -1, p)
         # -p^-1 mod 2^16 (CIOS per-digit Montgomery factor)
         self.pprime = (-pow(p, -1, 1 << LIMB_BITS)) % (1 << LIMB_BITS)
-        self.p_limbs = int_to_limbs(p)
-        self.one_mont = int_to_limbs(self.r)  # 1 in Montgomery form
-        self.r2_limbs = int_to_limbs(self.r2)
+        self.p_limbs = int_to_limbs(p, nlimbs)
+        self.one_mont = int_to_limbs(self.r, nlimbs)  # 1 in Montgomery form
+        self.r2_limbs = int_to_limbs(self.r2, nlimbs)
 
     def __hash__(self):
-        return hash((self.p, self.name))
+        return hash((self.p, self.name, self.nlimbs))
 
     def __eq__(self, other):
-        return isinstance(other, FpContext) and other.p == self.p
+        return (
+            isinstance(other, FpContext)
+            and other.p == self.p
+            and other.nlimbs == self.nlimbs
+        )
 
     # -- host conversions --------------------------------------------------
     def to_mont_int(self, v: int) -> int:
@@ -100,15 +104,17 @@ class FpContext:
 
     # -- element constructors ----------------------------------------------
     def zeros(self, batch_shape=()) -> jnp.ndarray:
-        return jnp.zeros((*batch_shape, NLIMBS), dtype=U32)
+        return jnp.zeros((*batch_shape, self.nlimbs), dtype=U32)
 
     def ones_mont(self, batch_shape=()) -> jnp.ndarray:
-        return jnp.broadcast_to(jnp.asarray(self.one_mont), (*batch_shape, NLIMBS)).astype(U32)
+        return jnp.broadcast_to(
+            jnp.asarray(self.one_mont), (*batch_shape, self.nlimbs)
+        ).astype(U32)
 
     def const(self, v: int, batch_shape=()) -> jnp.ndarray:
         """Constant in Montgomery form, broadcast over batch dims."""
-        limbs = jnp.asarray(int_to_limbs(self.to_mont_int(v)))
-        return jnp.broadcast_to(limbs, (*batch_shape, NLIMBS)).astype(U32)
+        limbs = jnp.asarray(int_to_limbs(self.to_mont_int(v), self.nlimbs))
+        return jnp.broadcast_to(limbs, (*batch_shape, self.nlimbs)).astype(U32)
 
 
 # ---------------------------------------------------------------------------
@@ -120,7 +126,7 @@ def _carry_canonicalize(t: jnp.ndarray) -> jnp.ndarray:
     if _unrolled():
         digits = []
         c = jnp.zeros(t.shape[:-1], dtype=U32)
-        for j in range(NLIMBS):
+        for j in range(t.shape[-1]):
             v = t[..., j] + c
             digits.append(v & LIMB_MASK)
             c = v >> LIMB_BITS
@@ -142,7 +148,7 @@ def _sub_limbs(a: jnp.ndarray, b_limbs: jnp.ndarray) -> tuple[jnp.ndarray, jnp.n
     if _unrolled():
         borrow = jnp.zeros(aa.shape[1:], dtype=jnp.int32)
         digits = []
-        for j in range(NLIMBS):
+        for j in range(aa.shape[0]):
             d = aa[j] - bb[j] - borrow
             borrow = (d < 0).astype(jnp.int32)
             digits.append((d + (borrow << LIMB_BITS)).astype(U32))
@@ -166,7 +172,7 @@ def _add_limbs(a: jnp.ndarray, b_limbs: jnp.ndarray) -> jnp.ndarray:
     if _unrolled():
         carry = jnp.zeros(aa.shape[1:], dtype=U32)
         digits = []
-        for j in range(NLIMBS):
+        for j in range(aa.shape[0]):
             v = aa[j] + bb[j] + carry
             digits.append(v & LIMB_MASK)
             carry = v >> LIMB_BITS
@@ -193,9 +199,10 @@ def _sub_p_if_ge(ctx: FpContext, a: jnp.ndarray) -> jnp.ndarray:
 
 def mont_mul(ctx: FpContext, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Montgomery product a*b*R^-1 mod p for reduced Montgomery-form inputs."""
+    nl = ctx.nlimbs
     shape = jnp.broadcast_shapes(a.shape[:-1], b.shape[:-1])
-    a = jnp.broadcast_to(a, (*shape, NLIMBS))
-    b = jnp.broadcast_to(b, (*shape, NLIMBS))
+    a = jnp.broadcast_to(a, (*shape, nl))
+    b = jnp.broadcast_to(b, (*shape, nl))
     p = jnp.asarray(ctx.p_limbs)
     pprime = jnp.uint32(ctx.pprime)
     zero_tail = jnp.zeros((*shape, 1), dtype=U32)
@@ -203,26 +210,26 @@ def mont_mul(ctx: FpContext, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     def round_(i, t):
         ai = jax.lax.dynamic_index_in_dim(a, i, axis=a.ndim - 1, keepdims=True)
         prod = ai * b  # exact in uint32
-        t = t.at[..., 0:NLIMBS].add(prod & LIMB_MASK)
-        t = t.at[..., 1 : NLIMBS + 1].add(prod >> LIMB_BITS)
+        t = t.at[..., 0:nl].add(prod & LIMB_MASK)
+        t = t.at[..., 1 : nl + 1].add(prod >> LIMB_BITS)
         m = ((t[..., 0] * pprime) & LIMB_MASK)[..., None]
         qprod = m * p
-        t = t.at[..., 0:NLIMBS].add(qprod & LIMB_MASK)
-        t = t.at[..., 1 : NLIMBS + 1].add(qprod >> LIMB_BITS)
+        t = t.at[..., 0:nl].add(qprod & LIMB_MASK)
+        t = t.at[..., 1 : nl + 1].add(qprod >> LIMB_BITS)
         carry = t[..., 0] >> LIMB_BITS
         t = jnp.concatenate([t[..., 1:], zero_tail], axis=-1)
         return t.at[..., 0].add(carry)
 
-    t0 = jnp.zeros((*shape, NLIMBS + 1), dtype=U32)
+    t0 = jnp.zeros((*shape, nl + 1), dtype=U32)
     if _unrolled():
         t = t0
-        for i in range(NLIMBS):
+        for i in range(nl):
             t = round_(i, t)
     else:
-        t = jax.lax.fori_loop(0, NLIMBS, round_, t0, unroll=4)
-    # result value < 2p < 2^255: top accumulator digit is consumed by the
-    # carry ripple across the low 16 digits
-    res = _carry_canonicalize(t[..., :NLIMBS])
+        t = jax.lax.fori_loop(0, nl, round_, t0, unroll=4)
+    # result value < 2p: top accumulator digit is consumed by the carry
+    # ripple across the low digits
+    res = _carry_canonicalize(t[..., :nl])
     return _sub_p_if_ge(ctx, res)
 
 
@@ -265,7 +272,7 @@ def to_mont(ctx: FpContext, a: jnp.ndarray) -> jnp.ndarray:
 
 def from_mont(ctx: FpContext, a: jnp.ndarray) -> jnp.ndarray:
     """Montgomery form -> canonical digits (multiply by 1)."""
-    one = jnp.zeros(NLIMBS, dtype=U32).at[0].set(1)
+    one = jnp.zeros(ctx.nlimbs, dtype=U32).at[0].set(1)
     return mont_mul(ctx, a, one)
 
 

@@ -15,6 +15,7 @@ random-coefficient merge_pairs MSM
 from __future__ import annotations
 
 import functools
+import os
 import secrets
 from dataclasses import dataclass
 
@@ -130,7 +131,16 @@ def _pow_mul_pallas(f, log2n: int, batch: G.AffineBatch, tau_start, tau_pows, co
     powers = fp.mont_mul(CTX_R, powers, coeff[None])
     scalars = fp.from_mont(CTX_R, powers)
     if f.components == 1:
-        jac = pallas_exp.batch_exp_transposed(batch.x, batch.y, scalars)
+        if os.environ.get("PHASE2_TPU_NO_GLV"):
+            jac = pallas_exp.batch_exp_transposed(batch.x, batch.y, scalars)
+        else:
+            from . import glv_device
+
+            d1, d2, negs = glv_device.decompose_device(scalars)
+            ox, oy, oz = pallas_exp.pallas_batch_exp_glv(
+                batch.x.T, batch.y.T, d1, d2, negs
+            )
+            jac = G.JacobianBatch(ox.T, oy.T, oz.T)
     else:
         jac = pallas_exp.batch_exp_transposed_g2(batch.x, batch.y, scalars)
     return G.jac_normalize(f, jac)

@@ -1,0 +1,202 @@
+"""Device-side GLV scalar decomposition (Barrett-rounded lattice reduction).
+
+Host decomposition (refimpl/glv.py) costs microseconds of Python per scalar -
+it dominates the fused-kernel runtime. This module computes
+
+    c1 ~ round(k*b2/det), c2 ~ round(-k*b1/det)
+    k1 = k - c1*a1 - c2*a2,   k2 = -c1*b1 - c2*b2
+
+entirely on-device with 16-bit-digit integer arithmetic. The Barrett
+reciprocals may round c1/c2 off by one vs the exact quotient; the identity
+k1 + k2*LAMBDA = k (mod r) holds for ANY c1/c2, and an off-by-one only grows
+|ki| by one basis component (still < 2^131), so correctness is unaffected.
+
+Outputs: 4-bit windows of |k1|, |k2| (MSB-first) + sign masks, feeding
+pallas_exp.pallas_batch_exp_glv.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import fp
+from ..refimpl import glv as rglv
+from ..refimpl.field import R_MOD
+
+DIG = 16  # bits per digit
+MASK = 0xFFFF
+
+# truncated two's-complement width for k1/k2 (digits): 192 bits >> 2^131
+KDIG = 12
+# Barrett shift (digits): T = 400 bits
+TDIG = 25
+
+_A1, _B1 = rglv._A1, rglv._B1
+_A2, _B2 = rglv._A2, rglv._B2
+_DET = rglv._DET
+_SD = 1 if _DET > 0 else -1
+
+
+def _digits(v: int, n: int) -> np.ndarray:
+    assert v >= 0
+    return np.array([(v >> (DIG * i)) & MASK for i in range(n)], dtype=np.uint32)
+
+
+def _ndigits(v: int) -> int:
+    return max(1, (abs(v).bit_length() + DIG - 1) // DIG)
+
+
+# Barrett reciprocals: Mi = round(|bi'| * 2^(16*TDIG) / r)
+def _barrett(mag: int) -> int:
+    num = mag << (DIG * TDIG)
+    q, rem = divmod(num, R_MOD)
+    if 2 * rem >= R_MOD:
+        q += 1
+    return q
+
+
+_M1 = _barrett(abs(_B2))  # for c1 = round(k*b2/det)
+_M2 = _barrett(abs(_B1))  # for c2 = round(-k*b1/det)
+_S1 = (1 if _B2 > 0 else -1) * _SD
+_S2 = -(1 if _B1 > 0 else -1) * _SD
+
+_M1_D = _digits(_M1, _ndigits(_M1))
+_M2_D = _digits(_M2, _ndigits(_M2))
+
+_A1_D = _digits(abs(_A1), _ndigits(_A1))
+_A2_D = _digits(abs(_A2), _ndigits(_A2))
+_B1_D = _digits(abs(_B1), _ndigits(_B1))
+_B2_D = _digits(abs(_B2), _ndigits(_B2))
+_SA1 = 1 if _A1 > 0 else -1
+_SA2 = 1 if _A2 > 0 else -1
+_SB1 = 1 if _B1 > 0 else -1
+_SB2 = 1 if _B2 > 0 else -1
+
+
+def _carry(t: jnp.ndarray, out_digits: int) -> jnp.ndarray:
+    """Normalize uint32 accumulator digits to 16-bit digits (truncate/extend
+    to out_digits)."""
+    n = t.shape[-1]
+    digits = []
+    c = jnp.zeros(t.shape[:-1], dtype=jnp.uint32)
+    for j in range(min(n, out_digits)):
+        v = t[..., j] + c
+        digits.append(v & MASK)
+        c = v >> DIG
+    for _ in range(n, out_digits):
+        digits.append(c & MASK)
+        c = c >> DIG
+    return jnp.stack(digits, axis=-1)
+
+
+def _mul_digits(k: jnp.ndarray, const_d: np.ndarray, out_digits: int, round_bit: int | None = None) -> jnp.ndarray:
+    """k (..., nk digits) * constant -> (..., out_digits) digits (truncated).
+
+    Accumulates per constant digit with deferred carries; values stay far
+    below 2^32 (nk + nc <= ~34 terms of < 2^17 each). Optionally adds
+    2^round_bit before the final carry pass (Barrett rounding)."""
+    nk = k.shape[-1]
+    nc = const_d.shape[0]
+    width = min(nk + nc + 1, out_digits + 1)
+    t = jnp.zeros((*k.shape[:-1], width), dtype=jnp.uint32)
+    for j in range(nc):
+        cj = int(const_d[j])
+        if cj == 0:
+            continue
+        prod = k * jnp.uint32(cj)  # (..., nk) exact < 2^32
+        lo = prod & MASK
+        hi = prod >> DIG
+        lo_end = min(j + nk, width)
+        if lo_end > j:
+            t = t.at[..., j:lo_end].add(lo[..., : lo_end - j])
+        hi_start = j + 1
+        hi_end = min(j + 1 + nk, width)
+        if hi_end > hi_start:
+            t = t.at[..., hi_start:hi_end].add(hi[..., : hi_end - hi_start])
+    if round_bit is not None:
+        d, b = divmod(round_bit, DIG)
+        if d < width:
+            t = t.at[..., d].add(jnp.uint32(1 << b))
+    return _carry(t, out_digits)
+
+
+def _sub_digits(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a - b) mod 2^(16*D), canonical digits."""
+    ai = a.astype(jnp.int32)
+    bi = b.astype(jnp.int32)
+    borrow = jnp.zeros(a.shape[:-1], dtype=jnp.int32)
+    digits = []
+    for j in range(a.shape[-1]):
+        d = ai[..., j] - bi[..., j] - borrow
+        borrow = (d < 0).astype(jnp.int32)
+        digits.append((d + (borrow << DIG)).astype(jnp.uint32))
+    return jnp.stack(digits, axis=-1)
+
+
+def _add_digits(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a + b) mod 2^(16*D)."""
+    carry = jnp.zeros(a.shape[:-1], dtype=jnp.uint32)
+    digits = []
+    for j in range(a.shape[-1]):
+        v = a[..., j] + b[..., j] + carry
+        digits.append(v & MASK)
+        carry = v >> DIG
+    return jnp.stack(digits, axis=-1)
+
+
+def _twos_complement_abs(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two's-complement (..., KDIG) -> (|v| digits, negative mask)."""
+    neg = (v[..., -1] >> (DIG - 1)) != 0
+    inv = (~v) & MASK
+    one = jnp.zeros_like(v).at[..., 0].set(1)
+    negated = _add_digits(inv, one)
+    mag = jnp.where(neg[..., None], negated, v)
+    return mag, neg
+
+
+def _apply_signed(acc: jnp.ndarray, term: jnp.ndarray, sign: int) -> jnp.ndarray:
+    return _sub_digits(acc, term) if sign > 0 else _add_digits(acc, term)
+
+
+@jax.jit
+def decompose_device(scalars_canon: jnp.ndarray):
+    """uint32[N,16] canonical scalars -> (d1_msb int32[33,N], d2_msb,
+    negs int32[2,N]) for the GLV pallas ladder."""
+    k = scalars_canon
+    T_bits = DIG * TDIG
+    c1 = _mul_digits(k, _M1_D, KDIG + TDIG, round_bit=T_bits - 1)[..., TDIG:]
+    c2 = _mul_digits(k, _M2_D, KDIG + TDIG, round_bit=T_bits - 1)[..., TDIG:]
+    # c1/c2 magnitudes (KDIG digits); signed via static _S1/_S2
+
+    # k1 = k - s1*c1*a1 - s2*c2*a2  (two's complement, KDIG digits)
+    k_low = k[..., :KDIG] if k.shape[-1] >= KDIG else _carry(k, KDIG)
+    t1 = _mul_digits(c1, _A1_D, KDIG)
+    t2 = _mul_digits(c2, _A2_D, KDIG)
+    k1 = _apply_signed(k_low, t1, _S1 * _SA1)
+    k1 = _apply_signed(k1, t2, _S2 * _SA2)
+    # k2 = -s1*c1*b1 - s2*c2*b2
+    u1 = _mul_digits(c1, _B1_D, KDIG)
+    u2 = _mul_digits(c2, _B2_D, KDIG)
+    zero = jnp.zeros_like(k_low)
+    k2 = _apply_signed(zero, u1, _S1 * _SB1)
+    k2 = _apply_signed(k2, u2, _S2 * _SB2)
+
+    k1_mag, k1_neg = _twos_complement_abs(k1)
+    k2_mag, k2_neg = _twos_complement_abs(k2)
+
+    def windows(mag):
+        # (N, KDIG) 16-bit digits -> 33 nibbles MSB-first, transposed
+        outs = []
+        for w in range(33):
+            d, s = divmod(4 * w, DIG)
+            outs.append(((mag[..., d] >> s) & 0xF).astype(jnp.int32))
+        return jnp.stack(outs[::-1], axis=0)
+
+    negs = jnp.stack(
+        [k1_neg.astype(jnp.int32), k2_neg.astype(jnp.int32)], axis=0
+    )
+    return windows(k1_mag), windows(k2_mag), negs

@@ -300,7 +300,7 @@ def _batch_exp_kernel(p_ref, one_ref, x_ref, y_ref, dig_ref, ox_ref, oy_ref, oz_
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
-def pallas_batch_exp(x_t, y_t, digits_msb, tile: int = 256):
+def pallas_batch_exp(x_t, y_t, digits_msb, tile: int = 512):
     """x_t, y_t: uint32[16, N] transposed affine coords (Montgomery form, no
     infinities); digits_msb: int32[64, N] windows MSB-first. Returns
     transposed Jacobian (x, y, z) uint32[16, N]."""
@@ -485,7 +485,7 @@ def _batch_exp_glv_kernel(
 
 
 @functools.partial(jax.jit, static_argnums=(5,))
-def pallas_batch_exp_glv(x_t, y_t, d1_msb, d2_msb, negs, tile: int = 256):
+def pallas_batch_exp_glv(x_t, y_t, d1_msb, d2_msb, negs, tile: int = 512):
     """GLV windowed ladder. d1_msb/d2_msb: int32[33, N] 4-bit windows of
     |k1|/|k2| (MSB first); negs: int32[2, N] sign flags."""
     n = x_t.shape[1]
@@ -548,7 +548,7 @@ def glv_digit_arrays(scalars: list[int]):
     return nibbles(raw1), nibbles(raw2), negs
 
 
-def batch_exp_transposed_glv(batch_x, batch_y, scalars: list[int], tile: int = 256):
+def batch_exp_transposed_glv(batch_x, batch_y, scalars: list[int], tile: int = 512):
     from ..curve import group as G
 
     d1, d2, negs = glv_digit_arrays(scalars)
@@ -562,7 +562,7 @@ def batch_exp_transposed_glv(batch_x, batch_y, scalars: list[int], tile: int = 2
 # host-facing wrapper matching ops.backend conventions
 # ---------------------------------------------------------------------------
 
-def batch_exp_transposed(batch_x, batch_y, scalars_canon, tile: int = 256):
+def batch_exp_transposed(batch_x, batch_y, scalars_canon, tile: int = 512):
     """AffineBatch coord arrays ((N,16) layout) + canonical scalars ->
     JacobianBatch ((N,16) layout) via the fused kernel."""
     from ..curve import group as G
