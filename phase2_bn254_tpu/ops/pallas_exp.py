@@ -305,6 +305,7 @@ def pallas_batch_exp(x_t, y_t, digits_msb, tile: int = 512):
     infinities); digits_msb: int32[64, N] windows MSB-first. Returns
     transposed Jacobian (x, y, z) uint32[16, N]."""
     n = x_t.shape[1]
+    tile = min(tile, n)
     assert n % tile == 0
     grid = (n // tile,)
     spec_const = pl.BlockSpec((NLIMBS, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -382,6 +383,7 @@ def _batch_exp_kernel_g2(
 def pallas_batch_exp_g2(x0, x1, y0, y1, digits_msb, tile: int = 128):
     """Transposed Fq2 coordinate planes uint32[16, N] -> Jacobian planes."""
     n = x0.shape[1]
+    tile = min(tile, n)
     assert n % tile == 0
     grid = (n // tile,)
     spec_const = pl.BlockSpec((NLIMBS, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -489,6 +491,7 @@ def pallas_batch_exp_glv(x_t, y_t, d1_msb, d2_msb, negs, tile: int = 512):
     """GLV windowed ladder. d1_msb/d2_msb: int32[33, N] 4-bit windows of
     |k1|/|k2| (MSB first); negs: int32[2, N] sign flags."""
     n = x_t.shape[1]
+    tile = min(tile, n)
     assert n % tile == 0
     grid = (n // tile,)
     spec_const = pl.BlockSpec((NLIMBS, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
