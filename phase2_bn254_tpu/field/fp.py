@@ -38,19 +38,42 @@ import os as _os
 
 _UNROLL_ENV = _os.environ.get("PHASE2_TPU_UNROLL", "auto")
 
+_FORCE_ROLLED = False
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def force_rolled():
+    """Trace the enclosed jit calls with rolled limb loops regardless of
+    backend - for programs whose traced op count would otherwise overwhelm
+    the (remote) TPU compiler (Pippenger MSM, group NTT stages)."""
+    global _FORCE_ROLLED
+    old = _FORCE_ROLLED
+    _FORCE_ROLLED = True
+    try:
+        yield
+    finally:
+        _FORCE_ROLLED = old
+
 
 def _unrolled() -> bool:
     """Whether to fully unroll limb loops at trace time.
 
-    Unrolled bodies fuse into fewer launches (~2x runtime for XLA-path bulk
-    ops) but produce traced programs that take the remote TPU toolchain tens
-    of minutes to compile. The Pallas kernels own the hot loops, so the XLA
-    path defaults to rolled (small programs, fast compiles) everywhere.
-    Override with PHASE2_TPU_UNROLL=1 for unrolled XLA kernels.
+    Unrolled bodies fuse into far fewer launches (critical on TPU, where each
+    tiny rolled-loop step is a dispatch); rolled loops keep traced programs
+    small (fast compiles - the CPU test default). The multi-thousand-op
+    ladders live in Pallas kernels, so the remaining XLA glue stays small
+    enough to compile unrolled. Override with PHASE2_TPU_UNROLL=0/1.
     """
+    if _FORCE_ROLLED:
+        return False
+    if _UNROLL_ENV in ("0", "false"):
+        return False
     if _UNROLL_ENV in ("1", "true"):
         return True
-    return False
+    return jax.default_backend() != "cpu"
 
 
 def int_to_limbs(v: int, nlimbs: int = NLIMBS) -> np.ndarray:

@@ -151,9 +151,11 @@ def _use_pallas(group: str, n: int) -> bool:
 
     if os.environ.get("PHASE2_TPU_NO_PALLAS"):
         return False
-    # the axon platform reports its own name; anything non-CPU is a TPU here
-    min_n = 256 if group == "g1" else 128
-    return n >= min_n and jax.default_backend() != "cpu"
+    # the axon platform reports its own name; anything non-CPU is a TPU here.
+    # Padded batches are always >= 32 and a power of two, so the pallas path
+    # covers every TPU pow_mul (the XLA ladder's traced program is too large
+    # for the remote toolchain when unrolled).
+    return n >= 32 and jax.default_backend() != "cpu"
 
 
 class JaxBackend:
@@ -209,8 +211,13 @@ class JaxBackend:
         if target >= 64:
             from . import msm as msm_mod
 
-            # padding points carry scalar 0 => skipped by the bucket logic
-            jac = msm_mod.msm_pippenger(f, padded, jnp.asarray(sc), msm_mod.pick_window(target))
+            # padding points carry scalar 0 => skipped by the bucket logic.
+            # Rolled limb loops: the Pippenger program is too large for the
+            # remote TPU compiler when unrolled.
+            with fp.force_rolled():
+                jac = msm_mod.msm_pippenger(
+                    f, padded, jnp.asarray(sc), msm_mod.pick_window(target)
+                )
             out = _normalize_kernel(f, jax.tree.map(lambda a: a[None], jac))
         else:
             out = _msm_kernel(f, padded, jnp.asarray(sc))
@@ -257,7 +264,8 @@ class JaxBackend:
         assert 1 << exp == ps.n
         f = _field_ops(ps.group)
         jac = G.affine_to_jac(f, ps.batch)
-        out = ntt.group_ntt_staged(f, exp, jac, inverse=True)
+        with fp.force_rolled():
+            out = ntt.group_ntt_staged(f, exp, jac, inverse=True)
         return PointSet(_normalize_kernel(f, out), ps.n, ps.group)
 
     def sub_batches(self, a: PointSet, b: PointSet) -> PointSet:
