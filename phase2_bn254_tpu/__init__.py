@@ -31,6 +31,10 @@ def _enable_compile_cache():
         # key the cache by backend platform: CPU AOT artifacts produced by a
         # remote compile service are machine-specific and SIGILL elsewhere
         platform = jax.default_backend()
+        if platform == "cpu":
+            # XLA:CPU AOT cache entries have crashed on reload here
+            # (machine-feature mismatch SIGSEGV in the AOT loader)
+            return
         cache = os.environ.get(
             "PHASE2_TPU_CACHE_DIR",
             os.path.join(

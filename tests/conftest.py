@@ -16,11 +16,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compilation cache keeps repeated test runs fast
-cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
-jax.config.update("jax_compilation_cache_dir", cache_dir)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# NOTE: no persistent compilation cache on CPU - XLA:CPU AOT cache entries
+# have crashed on reload in this environment (machine-feature mismatches in
+# the AOT loader lead to SIGSEGV/SIGILL). Setting the dir to a sentinel
+# prevents the package __init__ from installing its own cache either.
+os.environ.setdefault("PHASE2_TPU_NO_CACHE", "1")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
