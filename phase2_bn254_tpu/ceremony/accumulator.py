@@ -70,22 +70,49 @@ def transform(
     check_input: bool = False,
 ) -> None:
     """Multiply element i by tau^i (and alpha/beta coefficients)
-    (batched_accumulator.rs:1119-1292)."""
-    for start, size in params.chunks("low"):
-        for kind, coeff in (
-            ("tau_g1", None),
-            ("tau_g2", None),
-            ("alpha_g1", key.alpha),
-            ("beta_g1", key.beta),
-        ):
+    (batched_accumulator.rs:1119-1292).
+
+    Software-pipelined: chunk i+1 is decoded and its device work launched
+    (async dispatch) before chunk i's results are pulled back and encoded,
+    overlapping transfers/host byte-swizzles with device compute.
+    """
+
+    def launch(region_kinds, start, size):
+        outs = []
+        for kind, coeff in region_kinds:
             raw = _read_elements(fin, params, kind, start, size, input_compressed)
             batch = backend.decode(raw, _group_of(kind), size, input_compressed, check_input)
-            batch = backend.pow_mul(batch, key.tau, start, coeff)
+            outs.append((kind, backend.pow_mul(batch, key.tau, start, coeff)))
+        return start, outs
+
+    def flush(pending):
+        start, outs = pending
+        for kind, batch in outs:
             _write_elements(
                 fout, params, kind, start, backend.encode(batch, output_compressed), output_compressed
             )
-        # beta_g2 ^= beta (same value every chunk; write once)
-        if start == 0:
+        log.info("transform: wrote chunk at %d", start)
+
+    low_kinds = (
+        ("tau_g1", None),
+        ("tau_g2", None),
+        ("alpha_g1", key.alpha),
+        ("beta_g1", key.beta),
+    )
+    high_kinds = (("tau_g1", None),)
+    work = [("low", s, z) for s, z in params.chunks("low")] + [
+        ("high", s, z) for s, z in params.chunks("high")
+    ]
+
+    pending = None
+    for region, start, size in work:
+        kinds = low_kinds if region == "low" else high_kinds
+        nxt = launch(kinds, start, size)
+        if pending is not None:
+            flush(pending)
+        pending = nxt
+        if region == "low" and start == 0:
+            # beta_g2 ^= beta (written once; host math, O(1))
             raw = _read_elements(fin, params, "beta_g2", 0, 1, input_compressed)
             beta_g2 = rc.point_from_bytes(raw, "g2", input_compressed, check=check_input)
             beta_g2 = beta_g2.mul(key.beta)
@@ -93,16 +120,8 @@ def transform(
             _write_elements(
                 fout, params, "beta_g2", 0, rc.point_to_bytes(beta_g2, output_compressed), output_compressed
             )
-        log.info("transform: processed low-region powers up to %d", start + size - 1)
-
-    for start, size in params.chunks("high"):
-        raw = _read_elements(fin, params, "tau_g1", start, size, input_compressed)
-        batch = backend.decode(raw, "g1", size, input_compressed, check_input)
-        batch = backend.pow_mul(batch, key.tau, start, None)
-        _write_elements(
-            fout, params, "tau_g1", start, backend.encode(batch, output_compressed), output_compressed
-        )
-        log.info("transform: processed high-region powers up to %d", start + size - 1)
+    if pending is not None:
+        flush(pending)
 
 
 def _power_pairs_check(backend, batch, g2_pair: tuple[rc.Point, rc.Point]) -> bool:

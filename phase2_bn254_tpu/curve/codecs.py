@@ -114,9 +114,16 @@ def _g1_decompress(x_dig, greatest):
 
 @jax.jit
 def _g1_to_canonical(x, y):
+    """Returns ONE packed array (N, 33) = [x digits | y digits | greatest]
+    so the host needs a single device->host pull (the tunnel charges per
+    transfer)."""
     y_can = fp.from_mont(CTX, y)
     ny_can = fp.from_mont(CTX, fp.neg(CTX, y))
-    return fp.from_mont(CTX, x), y_can, fp.gt(y_can, ny_can)
+    x_can = fp.from_mont(CTX, x)
+    greatest = fp.gt(y_can, ny_can)
+    return jnp.concatenate(
+        [x_can, y_can, greatest[:, None].astype(jnp.uint32)], axis=1
+    )
 
 
 def _fq2_gt(a_can, b_can):
@@ -182,9 +189,21 @@ def _g2_decompress(x_dig, greatest):
 
 @jax.jit
 def _g2_to_canonical(x, y):
+    """Packed (N, 65) = [x.c0 | x.c1 | y.c0 | y.c1 | greatest]."""
     y_can = _fq2_from_mont(y)
     ny_can = _fq2_from_mont(FQ2.neg(y))
-    return _fq2_from_mont(x), y_can, _fq2_gt(y_can, ny_can)
+    x_can = _fq2_from_mont(x)
+    greatest = _fq2_gt(y_can, ny_can)
+    return jnp.concatenate(
+        [
+            x_can[:, 0],
+            x_can[:, 1],
+            y_can[:, 0],
+            y_can[:, 1],
+            greatest[:, None].astype(jnp.uint32),
+        ],
+        axis=1,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -244,8 +263,12 @@ def decode_batch(raw: bytes, group: str, count: int, compressed: bool, check: bo
             )
             batch, valid = _g2_from_canonical(xd, yd, check)
 
-    if not bool(jnp.all(valid)):
-        raise ValueError(f"invalid {group} point in stream (off-curve or non-QR)")
+    if compressed or check:
+        # decompression / on-curve validity requires a device sync; the
+        # unchecked-uncompressed path (the contribute hot loop) skips the
+        # round trip entirely (host-side range checks already ran)
+        if not bool(jnp.all(valid)):
+            raise ValueError(f"invalid {group} point in stream (off-curve or non-QR)")
     return batch
 
 
@@ -270,25 +293,26 @@ def encode_batch(
         out[infs, 0] = 0x40
         return out.tobytes()
     if group == "g1":
-        xd, yd, greatest = _g1_to_canonical(batch.x, batch.y)
-        xb = digits_to_be_bytes(np.asarray(xd))
+        packed = np.asarray(_g1_to_canonical(batch.x, batch.y))  # one pull
+        xd, yd, greatest = packed[:, 0:16], packed[:, 16:32], packed[:, 32] != 0
+        xb = digits_to_be_bytes(xd)
         if compressed:
             out = xb
-            out[:, 0] |= np.where(np.asarray(greatest), 0x80, 0).astype(np.uint8)
+            out[:, 0] |= np.where(greatest, 0x80, 0).astype(np.uint8)
         else:
-            out = np.concatenate([xb, digits_to_be_bytes(np.asarray(yd))], axis=1)
+            out = np.concatenate([xb, digits_to_be_bytes(yd)], axis=1)
         return out.tobytes()
-    xd, yd, greatest = _g2_to_canonical(batch.x, batch.y)
-    xd, yd = np.asarray(xd), np.asarray(yd)
-    xb = np.concatenate(
-        [digits_to_be_bytes(xd[:, 1]), digits_to_be_bytes(xd[:, 0])], axis=1
-    )
+    packed = np.asarray(_g2_to_canonical(batch.x, batch.y))  # one pull
+    xc0, xc1 = packed[:, 0:16], packed[:, 16:32]
+    yc0, yc1 = packed[:, 32:48], packed[:, 48:64]
+    greatest = packed[:, 64] != 0
+    xb = np.concatenate([digits_to_be_bytes(xc1), digits_to_be_bytes(xc0)], axis=1)
     if compressed:
         out = xb
-        out[:, 0] |= np.where(np.asarray(greatest), 0x80, 0).astype(np.uint8)
+        out[:, 0] |= np.where(greatest, 0x80, 0).astype(np.uint8)
     else:
         yb = np.concatenate(
-            [digits_to_be_bytes(yd[:, 1]), digits_to_be_bytes(yd[:, 0])], axis=1
+            [digits_to_be_bytes(yc1), digits_to_be_bytes(yc0)], axis=1
         )
         out = np.concatenate([xb, yb], axis=1)
     return out.tobytes()

@@ -192,8 +192,10 @@ class JaxBackend:
         )
         kern = _pow_mul_pallas if _use_pallas(ps.group, target) else _pow_mul_kernel
         aff = kern(_field_ops(ps.group), log2n, padded, tau_start, tau_pows, coeff_arr)
-        if bool(np.asarray(aff.inf)[: ps.n].any()):
-            raise AssertionError("contribution produced a point at infinity, re-run")
+        # NOTE: no device sync here - the "contribution produced infinity,
+        # re-run" protection (batched_accumulator.rs:1176-1179) fires in
+        # encode(), which already rejects infinities; keeping pow_mul async
+        # lets the transform loop pipeline chunks.
         return PointSet(aff, ps.n, ps.group)
 
     def msm(self, ps: PointSet, scalars: list[int]):

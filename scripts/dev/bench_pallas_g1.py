@@ -1,3 +1,5 @@
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 import time, random
 import jax, jax.numpy as jnp, numpy as np
 from phase2_bn254_tpu.field import fp

@@ -1,3 +1,5 @@
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))
 import os, time, tempfile, hashlib
 os.chdir(tempfile.mkdtemp())
 from phase2_bn254_tpu.cli.phase1 import new_challenge, contribute, verify_transform, participant_rng

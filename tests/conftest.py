@@ -29,3 +29,15 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The XLA:CPU compiler has segfaulted when compiling the largest programs
+    late in a long test session (memory pressure from every previously
+    compiled executable being held live); dropping them bounds process RSS.
+    """
+    yield
+    jax.clear_caches()
