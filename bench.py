@@ -32,7 +32,7 @@ def main():
     from phase2_bn254_tpu.refimpl import curve as rc
     from phase2_bn254_tpu.refimpl.field import R_MOD
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 13
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 16
     log2n = n.bit_length() - 1
     assert 1 << log2n == n
 
