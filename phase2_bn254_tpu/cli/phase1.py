@@ -24,12 +24,25 @@ from ..crypto.hashing import calculate_hash, pretty_hash
 
 
 def _default_backend():
-    """JAX backend if available, exact host backend otherwise."""
+    """JAX backend if available, exact host backend otherwise.
+
+    `PHASE2_TPU_BACKEND=exact|jax` overrides the choice (the framework's
+    env-var config surface, like the reference's `BELLMAN_VERBOSE` —
+    /root/reference/bellman/src/lib.rs:52-54). `exact` is the right choice
+    for small CPU-only runs, where XLA compiles dominate wall clock.
+    """
+    choice = os.environ.get("PHASE2_TPU_BACKEND", "").lower()
+    if choice == "exact":
+        from ..refimpl.backend import ExactBackend
+
+        return ExactBackend()
     try:
         from ..ops.backend import JaxBackend
 
         return JaxBackend()
     except Exception as e:  # pragma: no cover
+        if choice == "jax":
+            raise
         print(f"warning: JAX backend unavailable ({e}); using exact host backend")
         from ..refimpl.backend import ExactBackend
 

@@ -174,11 +174,7 @@ def main_generate_verifier(argv=None):
 
 
 def _default_backend():
-    try:
-        from ..ops.backend import JaxBackend
+    """Same selection policy (and `PHASE2_TPU_BACKEND` override) as phase1."""
+    from .phase1 import _default_backend as _phase1_default
 
-        return JaxBackend()
-    except Exception:  # pragma: no cover
-        from ..refimpl.backend import ExactBackend
-
-        return ExactBackend()
+    return _phase1_default()
