@@ -1,0 +1,123 @@
+"""BLS12-381 device (JAX) compute path.
+
+Reuses the limb-generic machinery built for BN254 — `field.fp` Montgomery
+CIOS kernels, `field.fq2` tower ops and the masked Jacobian group law in
+`curve.group` are all parameterized over an `FpContext`, so the second
+engine only supplies contexts and host<->device converters:
+
+* Fq:  24 x 16-bit limbs, Montgomery R = 2^384 — the same radix as the
+  reference's 6 x u64 `ff_ce` representation
+  (/root/reference/pairing/src/bls12_381/fq.rs:447), so Montgomery-form
+  byte semantics match at the serialization boundary.
+* Fr:  17 x 16-bit limbs (R = 2^272). The reference uses R = 2^256, but the
+  CIOS kernels need two spare bits above the 255-bit modulus; scalar values
+  cross the host/device boundary in canonical form, so the internal radix is
+  unobservable.
+
+Validated against the exact host layer in tests/test_bls12_381_device.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..curve import group
+from ..field import fp
+from ..field.fq2 import Fq2Ops, FqOps
+from . import curve as host
+from .field import Q, R_MOD
+
+CTX_BLS_FQ = fp.FpContext(Q, "bls_fq", nlimbs=24)
+CTX_BLS_FR = fp.FpContext(R_MOD, "bls_fr", nlimbs=17)
+
+FQ_OPS = FqOps(CTX_BLS_FQ)
+FQ2_OPS = Fq2Ops(CTX_BLS_FQ)
+
+
+def _field_ops(grp: str):
+    return FQ_OPS if grp == "g1" else FQ2_OPS
+
+
+def _fq_to_limbs_mont(v: int) -> np.ndarray:
+    return fp.int_to_limbs(CTX_BLS_FQ.to_mont_int(v), 24)
+
+
+def _fq_from_limbs_mont(a) -> int:
+    return CTX_BLS_FQ.from_mont_int(fp.limbs_to_int(a))
+
+
+def points_to_batch(points: list[host.Point], grp: str) -> group.AffineBatch:
+    """Host affine points -> device AffineBatch (Montgomery limbs)."""
+    if grp == "g1":
+        xs = np.stack([_fq_to_limbs_mont(0 if p.inf else p.x) for p in points])
+        ys = np.stack([_fq_to_limbs_mont(1 if p.inf else p.y) for p in points])
+    else:
+        xs = np.stack(
+            [
+                np.stack(
+                    [
+                        _fq_to_limbs_mont(0 if p.inf else p.x.c0),
+                        _fq_to_limbs_mont(0 if p.inf else p.x.c1),
+                    ]
+                )
+                for p in points
+            ]
+        )
+        ys = np.stack(
+            [
+                np.stack(
+                    [
+                        _fq_to_limbs_mont(1 if p.inf else p.y.c0),
+                        _fq_to_limbs_mont(0 if p.inf else p.y.c1),
+                    ]
+                )
+                for p in points
+            ]
+        )
+    inf = np.array([p.inf for p in points], dtype=bool)
+    return group.AffineBatch(jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(inf))
+
+
+def batch_to_points(batch: group.AffineBatch, grp: str) -> list[host.Point]:
+    """Device AffineBatch -> host affine points."""
+    xs, ys = np.asarray(batch.x), np.asarray(batch.y)
+    inf = np.asarray(batch.inf)
+    out = []
+    for i in range(inf.shape[0]):
+        if inf[i]:
+            out.append(host.point_zero(grp))
+        elif grp == "g1":
+            out.append(
+                host.Point(_fq_from_limbs_mont(xs[i]), _fq_from_limbs_mont(ys[i]), False, "g1")
+            )
+        else:
+            out.append(
+                host.Point(
+                    host.Fq2(_fq_from_limbs_mont(xs[i][0]), _fq_from_limbs_mont(xs[i][1])),
+                    host.Fq2(_fq_from_limbs_mont(ys[i][0]), _fq_from_limbs_mont(ys[i][1])),
+                    False,
+                    "g2",
+                )
+            )
+    return out
+
+
+def scalars_to_canon(scalars: list[int]) -> jnp.ndarray:
+    return jnp.asarray(np.stack([fp.int_to_limbs(s % R_MOD, 17) for s in scalars]))
+
+
+def batch_mul(points: list[host.Point], scalars: list[int], grp: str) -> list[host.Point]:
+    """Device windowed batch scalar multiplication, exact vs host `Point.mul`."""
+    f = _field_ops(grp)
+    batch = points_to_batch(points, grp)
+    sc = scalars_to_canon(scalars)
+
+    def kern(b, s):
+        jac = group.batch_scalar_mul(f, b, s)
+        return group.jac_normalize(f, jac)
+
+    out = jax.jit(kern)(batch, sc)
+    return batch_to_points(jax.tree.map(np.asarray, out), grp)

@@ -145,11 +145,12 @@ N_WINDOWS = fp.MONT_BITS // WINDOW  # 64
 
 
 def scalar_windows(scalars_canon: jnp.ndarray) -> jnp.ndarray:
-    """uint32[batch,16] canonical digits -> uint32[batch,64] 4-bit windows,
-    window 0 = least significant."""
+    """uint32[batch,nlimbs] canonical digits -> uint32[batch,4*nlimbs] 4-bit
+    windows, window 0 = least significant. The limb count follows the input
+    shape (16 for BN254 Fr; other engines pass wider scalars)."""
     outs = []
     per_limb = fp.LIMB_BITS // WINDOW  # 4
-    for k in range(fp.NLIMBS):
+    for k in range(scalars_canon.shape[-1]):
         limb = scalars_canon[..., k]
         for s in range(per_limb):
             outs.append((limb >> (WINDOW * s)) & (2**WINDOW - 1))

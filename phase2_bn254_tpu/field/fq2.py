@@ -133,7 +133,7 @@ class Fq2Ops:
         return jnp.all(a == b, axis=(-1, -2))
 
     def zeros(self, batch_shape=()):
-        return jnp.zeros((*batch_shape, 2, fp.NLIMBS), dtype=fp.U32)
+        return jnp.zeros((*batch_shape, 2, self.ctx.nlimbs), dtype=fp.U32)
 
     def ones(self, batch_shape=()):
         return self.pack(self.ctx.ones_mont(batch_shape), self.ctx.zeros(batch_shape))
