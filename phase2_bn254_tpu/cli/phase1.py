@@ -26,7 +26,7 @@ from ..crypto.hashing import calculate_hash, pretty_hash
 def _default_backend():
     """JAX backend if available, exact host backend otherwise.
 
-    `PHASE2_TPU_BACKEND=exact|jax` overrides the choice (the framework's
+    `PHASE2_TPU_BACKEND=exact|jax|sharded` overrides the choice (the framework's
     env-var config surface, like the reference's `BELLMAN_VERBOSE` —
     /root/reference/bellman/src/lib.rs:52-54). `exact` is the right choice
     for small CPU-only runs, where XLA compiles dominate wall clock.
@@ -36,7 +36,18 @@ def _default_backend():
         from ..refimpl.backend import ExactBackend
 
         return ExactBackend()
+    if choice == "sharded":
+        from ..parallel.backend import ShardedBackend
+
+        return ShardedBackend()
     try:
+        import jax
+
+        if choice != "jax" and len(jax.devices()) > 1 and jax.default_backend() != "cpu":
+            # multi-chip TPU: shard the ceremony over the mesh by default
+            from ..parallel.backend import ShardedBackend
+
+            return ShardedBackend()
         from ..ops.backend import JaxBackend
 
         return JaxBackend()

@@ -79,10 +79,29 @@ class Domain:
         return rev
 
 
-@functools.partial(jax.jit, static_argnums=(0, 2))
 def ntt(exp: int, coeffs: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     """Scalar NTT: uint32[m,16] Montgomery Fr -> same, natural order DFT
-    out[k] = sum_j a_j w^(jk) (matching bellman serial_fft semantics)."""
+    out[k] = sum_j a_j w^(jk) (matching bellman serial_fft semantics).
+
+    Dispatches to the fused Pallas four-step kernels on TPU (VMEM-resident
+    butterfly stages); the XLA per-stage path remains the portable/CPU path.
+    Override with PHASE2_TPU_NTT=pallas|xla."""
+    import os
+
+    choice = os.environ.get("PHASE2_TPU_NTT", "auto")
+    use_pallas = (
+        choice == "pallas"
+        or (choice == "auto" and jax.default_backend() != "cpu" and 10 <= exp <= 22)
+    )
+    if use_pallas:
+        from .pallas_ntt import ntt_pallas
+
+        return ntt_pallas(exp, coeffs, inverse)
+    return _ntt_xla(exp, coeffs, inverse)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def _ntt_xla(exp: int, coeffs: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     d = Domain(exp)
     m = d.m
     if m == 1:

@@ -38,27 +38,51 @@ _PPRIME = (-pow(Q, -1, 1 << 16)) % (1 << 16)
 
 
 class TOps:
-    """Transposed-layout Fq ops on uint32[16, T] blocks.
+    """Transposed-layout Fq ops on uint32[16, ...] blocks: limbs on axis 0
+    (sublanes), batch on the trailing axes (lanes). Shape-generic: the G1/G2
+    ladder kernels use (16, T) tiles, the NTT kernel (16, W, C) tiles.
 
-    `p` is the modulus as a (16, 1) column (a traced kernel input)."""
+    `p` is the modulus as a (16, 1...) column broadcastable against element
+    blocks (a traced kernel input); `pprime` = -p^-1 mod 2^16 (defaults to
+    the BN254 Fq factor; the Fr NTT kernel passes its own).
 
-    def __init__(self, p_col):
+    `lazy=True` keeps values in the redundant range [0, 2p) (standard lazy
+    reduction): mont_mul skips its final conditional subtract (CIOS output
+    < p + 4p^2/R < 2p since R = 2^256 > 4p), add reduces mod 2p, sub wraps
+    by 2p, and eq/is_zero treat p as an alias of 0. Call `canon_out` on
+    kernel outputs to return to canonical form."""
+
+    def __init__(self, p_col, pprime: int = _PPRIME, lazy: bool = False):
         self.p = p_col
-        self.pprime = jnp.uint32(_PPRIME)
+        self.pprime = jnp.uint32(pprime)
+        self.lazy = lazy
+        if lazy:
+            self.p2 = self._double_limbs(p_col)
+
+    @staticmethod
+    def _double_limbs(p):
+        c = jnp.zeros_like(p[0:1])
+        out = []
+        for j in range(NLIMBS):
+            v = (p[j : j + 1] << 1) + c
+            out.append(v & MASK)
+            c = v >> 16
+        return jnp.concatenate(out, axis=0)
 
     # -- field ------------------------------------------------------------
     def mont_mul(self, a, b):
-        T = a.shape[1]
+        shape = jnp.broadcast_shapes(a.shape, b.shape, self.p.shape)
+        tail = shape[1:]
         p = self.p
         pprime = self.pprime
 
         # t: rows 0..15 = low digits, row 16 = running top digit. Unrolled
         # CIOS written with slices/concats only (Mosaic has no scatter-add,
         # and cannot dynamic-slice loaded values).
-        t16 = jnp.zeros((NLIMBS, T), U32)
-        top = jnp.zeros((1, T), U32)
+        t16 = jnp.zeros((NLIMBS, *tail), U32)
+        top = jnp.zeros((1, *tail), U32)
         for i in range(NLIMBS):
-            prod = a[i : i + 1] * b  # (16,T)
+            prod = a[i : i + 1] * b  # (16, ...)
             lo = prod & MASK
             hi = prod >> 16
             t16 = t16 + lo
@@ -69,23 +93,24 @@ class TOps:
             carry = t16[0:1] >> 16
             shifted = jnp.concatenate([t16[1:NLIMBS], top], axis=0) + hi_sum
             t16 = jnp.concatenate([shifted[0:1] + carry, shifted[1:]], axis=0)
-            top = jnp.zeros((1, T), U32)
-        return self._sub_p_if_ge(self._canon(t16))
+            top = jnp.zeros((1, *tail), U32)
+        t = self._canon(t16)
+        return t if self.lazy else self._sub_p_if_ge(t)
 
     @staticmethod
     def _canon(t):
         digits = []
-        c = jnp.zeros((1, t.shape[1]), U32)
+        c = jnp.zeros((1, *t.shape[1:]), U32)
         for j in range(NLIMBS):
             v = t[j : j + 1] + c
             digits.append(v & MASK)
             c = v >> 16
         return jnp.concatenate(digits, axis=0)
 
-    def _sub_p_if_ge(self, a):
+    def _sub_m_if_ge(self, a, m):
         ai = a.astype(jnp.int32)
-        pi = self.p.astype(jnp.int32)
-        borrow = jnp.zeros((1, a.shape[1]), jnp.int32)
+        pi = jnp.broadcast_to(m, a.shape).astype(jnp.int32)
+        borrow = jnp.zeros((1, *a.shape[1:]), jnp.int32)
         digits = []
         for j in range(NLIMBS):
             d = ai[j : j + 1] - pi[j : j + 1] - borrow
@@ -94,27 +119,38 @@ class TOps:
         diff = jnp.concatenate(digits, axis=0)
         return jnp.where(borrow == 0, diff, a)
 
+    def _sub_p_if_ge(self, a):
+        return self._sub_m_if_ge(a, self.p)
+
+    def canon_out(self, a):
+        """Redundant [0, 2p) -> canonical [0, p) (no-op when not lazy)."""
+        return self._sub_p_if_ge(a) if self.lazy else a
+
     def add(self, a, b):
         s = []
-        c = jnp.zeros((1, a.shape[1]), U32)
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        c = jnp.zeros((1, *shape[1:]), U32)
         for j in range(NLIMBS):
             v = a[j : j + 1] + b[j : j + 1] + c
             s.append(v & MASK)
             c = v >> 16
-        return self._sub_p_if_ge(jnp.concatenate(s, axis=0))
+        return self._sub_m_if_ge(
+            jnp.concatenate(s, axis=0), self.p2 if self.lazy else self.p
+        )
 
     def sub(self, a, b):
-        ai = a.astype(jnp.int32)
-        bi = b.astype(jnp.int32)
-        borrow = jnp.zeros((1, a.shape[1]), jnp.int32)
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        ai = jnp.broadcast_to(a, shape).astype(jnp.int32)
+        bi = jnp.broadcast_to(b, shape).astype(jnp.int32)
+        borrow = jnp.zeros((1, *shape[1:]), jnp.int32)
         digits = []
         for j in range(NLIMBS):
             d = ai[j : j + 1] - bi[j : j + 1] - borrow
             borrow = (d < 0).astype(jnp.int32)
             digits.append((d + (borrow << 16)).astype(U32))
         diff = jnp.concatenate(digits, axis=0)
-        pi = self.p
-        carry = jnp.zeros((1, a.shape[1]), U32)
+        pi = jnp.broadcast_to(self.p2 if self.lazy else self.p, shape)
+        carry = jnp.zeros((1, *shape[1:]), U32)
         digits2 = []
         for j in range(NLIMBS):
             v = diff[j : j + 1] + pi[j : j + 1] + carry
@@ -126,13 +162,17 @@ class TOps:
     def dbl(self, a):
         return self.add(a, a)
 
-    @staticmethod
-    def is_zero(a):
-        return jnp.all(a == 0, axis=0, keepdims=True)  # (1,T)
+    def is_zero(self, a):
+        z = jnp.all(a == 0, axis=0, keepdims=True)  # (1,T)
+        if not self.lazy:
+            return z
+        # in [0, 2p) the value p is an alias of zero
+        return z | jnp.all(a == jnp.broadcast_to(self.p, a.shape), axis=0, keepdims=True)
 
-    @staticmethod
-    def eq(a, b):
-        return jnp.all(a == b, axis=0, keepdims=True)
+    def eq(self, a, b):
+        if not self.lazy:
+            return jnp.all(a == b, axis=0, keepdims=True)
+        return self.is_zero(self.sub(a, b))
 
     @staticmethod
     def sel(mask, a, b):
@@ -185,6 +225,9 @@ class T2Ops:
     def zero_like(self, a):
         return jnp.zeros_like(a[0]), jnp.zeros_like(a[1])
 
+    def canon_out(self, a):
+        return self.f.canon_out(a[0]), self.f.canon_out(a[1])
+
 
 # -- Jacobian group law, generic over TOps / T2Ops --------------------------
 
@@ -230,9 +273,16 @@ def jac_add(ops, P, Qp):
     zz = ops.add(pz, qz)
     z3 = ops.mul(ops.sub(ops.sub(ops.mul(zz, zz), z1z1), z2z2), h)
 
-    dx, dy, dz = jac_double(ops, P)
     is_dbl = eq_x & eq_y & ~p_inf & ~q_inf
     is_cancel = eq_x & ~eq_y & ~p_inf & ~q_inf
+    # P == Q is measure-zero in ladder traffic: branch around the embedded
+    # doubling (~6 of 22 muls) instead of paying it every add. Both sides
+    # are compiled; the doubling executes only when some lane needs it.
+    dx, dy, dz = jax.lax.cond(
+        jnp.max(is_dbl.astype(jnp.int32)) > 0,
+        lambda: jac_double(ops, P),
+        lambda: jax.tree.map(jnp.zeros_like, tuple(P)),
+    )
     x = ops.sel(is_dbl, dx, x3)
     y = ops.sel(is_dbl, dy, y3)
     z = ops.sel(is_dbl, dz, z3)
@@ -261,7 +311,7 @@ N_WINDOWS = 64
 def _batch_exp_kernel(p_ref, one_ref, x_ref, y_ref, dig_ref, ox_ref, oy_ref, oz_ref, table_ref):
     """One batch tile; dig_ref[w] holds 4-bit window 63-w (MSB first)."""
     T = x_ref.shape[1]
-    ops = TOps(p_ref[:])
+    ops = TOps(p_ref[:], lazy=True)
     ones = one_ref[:]  # Montgomery one, replicated (16, T) block
     zeros = jnp.zeros((NLIMBS, T), U32)
 
@@ -296,7 +346,9 @@ def _batch_exp_kernel(p_ref, one_ref, x_ref, y_ref, dig_ref, ox_ref, oy_ref, oz_
         return ops.jac_add(acc, (ex, ey, ez))
 
     acc = jax.lax.fori_loop(0, N_WINDOWS, window, (zeros, ones, zeros))
-    ox_ref[:], oy_ref[:], oz_ref[:] = acc
+    ox_ref[:] = ops.canon_out(acc[0])
+    oy_ref[:] = ops.canon_out(acc[1])
+    oz_ref[:] = ops.canon_out(acc[2])
 
 
 @functools.partial(jax.jit, static_argnums=(3,))
@@ -332,7 +384,7 @@ def _batch_exp_kernel_g2(
     """G2 variant: Fq2 coordinates as (c0, c1) limb planes; table scratch
     holds 6 planes per entry (x0,x1,y0,y1,z0,z1)."""
     T = x0_ref.shape[1]
-    fops = TOps(p_ref[:])
+    fops = TOps(p_ref[:], lazy=True)
     ops = T2Ops(fops)
     onep = one_ref[:]
     zerop = jnp.zeros((NLIMBS, T), U32)
@@ -374,9 +426,9 @@ def _batch_exp_kernel_g2(
         return jac_add(ops, acc, (ex, ey, ez))
 
     acc = jax.lax.fori_loop(0, N_WINDOWS, window, (zero2, one2, zero2))
-    (ox0_ref[:], ox1_ref[:]) = acc[0]
-    (oy0_ref[:], oy1_ref[:]) = acc[1]
-    (oz0_ref[:], oz1_ref[:]) = acc[2]
+    (ox0_ref[:], ox1_ref[:]) = ops.canon_out(acc[0])
+    (oy0_ref[:], oy1_ref[:]) = ops.canon_out(acc[1])
+    (oz0_ref[:], oz1_ref[:]) = ops.canon_out(acc[2])
 
 
 @functools.partial(jax.jit, static_argnums=(5,))
@@ -433,9 +485,12 @@ def _batch_exp_glv_kernel(
 ):
     """Half-length double ladder: per window add table[d1] and
     phi(table[d2]), with per-lane sign masks (neg_ref rows: 0 -> k1, 1 -> k2).
+
+    Table plane 3 holds beta*X per entry (phi applied once at build time
+    instead of one mont_mul per window).
     """
     T = x_ref.shape[1]
-    ops = TOps(p_ref[:])
+    ops = TOps(p_ref[:], lazy=True)
     ones = one_ref[:]
     beta = beta_ref[:]
     zeros = jnp.zeros((NLIMBS, T), U32)
@@ -443,14 +498,17 @@ def _batch_exp_glv_kernel(
     table_ref[0, 0] = zeros
     table_ref[0, 1] = ones
     table_ref[0, 2] = zeros
+    table_ref[0, 3] = zeros
     base = (x_ref[:], y_ref[:], ones)
     table_ref[1, 0], table_ref[1, 1], table_ref[1, 2] = base
+    table_ref[1, 3] = ops.mont_mul(base[0], beta)
 
     def build(d, prev):
         nxt = ops.jac_add(prev, base)
         table_ref[pl.ds(d, 1), 0] = nxt[0][None]
         table_ref[pl.ds(d, 1), 1] = nxt[1][None]
         table_ref[pl.ds(d, 1), 2] = nxt[2][None]
+        table_ref[pl.ds(d, 1), 3] = ops.mont_mul(nxt[0], beta)[None]
         return nxt
 
     jax.lax.fori_loop(2, 16, build, base)
@@ -458,12 +516,12 @@ def _batch_exp_glv_kernel(
     neg1 = neg_ref[0:1, :] != 0  # (1,T)
     neg2 = neg_ref[1:2, :] != 0
 
-    def gather(dig_ref, w):
+    def gather(dig_ref, w, x_plane):
         d = dig_ref[pl.ds(w, 1), :]
         ex, ey, ez = zeros, ones, zeros
         for k in range(1, 16):
             m = d == k
-            ex = ops.sel(m, table_ref[k, 0], ex)
+            ex = ops.sel(m, table_ref[k, x_plane], ex)
             ey = ops.sel(m, table_ref[k, 1], ey)
             ez = ops.sel(m, table_ref[k, 2], ez)
         return ex, ey, ez
@@ -473,17 +531,18 @@ def _batch_exp_glv_kernel(
         acc = ops.jac_double(acc)
         acc = ops.jac_double(acc)
         acc = ops.jac_double(acc)
-        e1x, e1y, e1z = gather(d1_ref, w)
+        e1x, e1y, e1z = gather(d1_ref, w, 0)
         e1y = ops.sel(neg1, ops.sub(jnp.zeros_like(e1y), e1y), e1y)
         acc = ops.jac_add(acc, (e1x, e1y, e1z))
-        e2x, e2y, e2z = gather(d2_ref, w)
-        e2x = ops.mont_mul(e2x, beta)  # phi on Jacobian: scale X
+        e2x, e2y, e2z = gather(d2_ref, w, 3)  # phi: beta*X plane
         e2y = ops.sel(neg2, ops.sub(jnp.zeros_like(e2y), e2y), e2y)
         acc = ops.jac_add(acc, (e2x, e2y, e2z))
         return acc
 
     acc = jax.lax.fori_loop(0, GLV_WINDOWS, window, (zeros, ones, zeros))
-    ox_ref[:], oy_ref[:], oz_ref[:] = acc
+    ox_ref[:] = ops.canon_out(acc[0])
+    oy_ref[:] = ops.canon_out(acc[1])
+    oz_ref[:] = ops.canon_out(acc[2])
 
 
 @functools.partial(jax.jit, static_argnums=(5,))
@@ -512,7 +571,7 @@ def pallas_batch_exp_glv(x_t, y_t, d1_msb, d2_msb, negs, tile: int = 512):
         in_specs=[spec_const, spec_const, spec_const, spec16, spec16, spec_dig, spec_dig, spec_neg],
         out_specs=[spec16] * 3,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((16, 3, NLIMBS, tile), U32)],
+        scratch_shapes=[pltpu.VMEM((16, 4, NLIMBS, tile), U32)],
         interpret=jax.default_backend() == "cpu",
     )(p_col, one_col, beta_col, x_t, y_t, d1_msb, d2_msb, negs)
 

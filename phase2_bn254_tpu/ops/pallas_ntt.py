@@ -1,0 +1,268 @@
+"""Pallas TPU kernel: radix-2 Fr NTT via the four-step decomposition.
+
+TPU-native replacement for the XLA butterfly path in ops/ntt.py (the analog
+of bellman's serial_fft/parallel_fft,
+/root/reference/bellman/src/domain.rs:274-376), designed so every butterfly
+stage runs on VMEM-resident tiles:
+
+* N = R*C is viewed as a matrix; out[k2 + C*k1] =
+  DFT_R over j1 [ w^(j1*k2) * DFT_C over j2 [ a[j1 + R*j2] ] ]
+  - two column-DFT passes + one fused inter-step twiddle + XLA transposes.
+* Each pass is ONE pallas_call: the DFT axis lives on the 128-wide lane
+  dimension, butterflies pair lanes with `pltpu.roll` + masked selects, and
+  the whole log2-stage cascade runs per tile without touching HBM.
+* Twiddle factors for every stage enter as one (S, 16, C) lane-table; the
+  inter-step twiddle w^(j1*k2) is applied incrementally row-by-row (one
+  (16,1,C) mont_mul per sublane row), so no O(N) host table is ever built
+  (the per-lane bases and per-tile start factors are computed on device by
+  log-doubling).
+
+Field elements are 16x16-bit limbs on the sublane axis (TOps layout from
+ops/pallas_exp.py, instantiated with the Fr modulus). Results are bit-exact
+with ops.ntt.ntt (DFT outputs are unique field elements).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..field import fp
+from ..refimpl.field import R_MOD
+from .pallas_exp import TOps
+
+NLIMBS = fp.NLIMBS
+U32 = jnp.uint32
+
+CTX_R = fp.FpContext(R_MOD, "fr")
+_FR_P_LIMBS = fp.int_to_limbs(R_MOD)
+_FR_PPRIME = (-pow(R_MOD, -1, 1 << 16)) % (1 << 16)
+
+
+def _fr_ops(p_ref):
+    # p enters as a full-lane (16, C) table; broadcast over sublanes only
+    # (Mosaic cannot broadcast a (1,1,1) vector over both sublanes and lanes).
+    # Lazy [0, 2p) arithmetic inside the butterfly cascade; outputs are
+    # canonicalized on store.
+    return TOps(p_ref[:][:, None, :], _FR_PPRIME, lazy=True)
+
+
+# ---------------------------------------------------------------------------
+# device-side twiddle construction (log-doubling; no O(N) host loops)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _geom_powers_t(ratio_mont: jnp.ndarray, log2n: int) -> jnp.ndarray:
+    """[1, r, r^2, ..., r^(2^log2n - 1)] as transposed limbs uint32[16, 2^n].
+
+    ratio_mont: (16,) Montgomery limbs. log2n doublings of the prefix block:
+    P_{2k} = concat(P_k, P_k * r^k)."""
+    ones = jnp.asarray(fp.int_to_limbs(CTX_R.r))[:, None]  # 1 in Montgomery
+    out = ones
+    step = ratio_mont[:, None]  # r^(2^j) column
+    for _ in range(log2n):
+        out = jnp.concatenate([out, _colwise_mul(out, step)], axis=1)
+        step = _colwise_mul(step, step)
+    return out
+
+
+def _colwise_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product over (16, n) transposed-limb arrays (XLA path)."""
+    return fp.mont_mul(CTX_R, jnp.moveaxis(a, 0, -1), jnp.moveaxis(b, 0, -1)).T
+
+
+@functools.lru_cache(maxsize=None)
+def _pass_tables(log2c: int, omega: int):
+    """Stage twiddle table (S, 16, C) for a size-C lane DFT with root omega
+    (host int, canonical). Stage s holds omega_m^(j mod h) expanded to every
+    lane j (m = 2^s, h = m/2), i.e. the w of lane j's butterfly pair."""
+    with jax.ensure_compile_time_eval():
+        c = 1 << log2c
+        w_mont = jnp.asarray(fp.int_to_limbs(CTX_R.to_mont_int(omega)))
+        pw = _geom_powers_t(w_mont, log2c)  # (16, C): pw[:, j] = omega^j
+        stages = []
+        lane = np.arange(c, dtype=np.int32)
+        for s in range(1, log2c + 1):
+            m = 1 << s
+            h = m >> 1
+            idx = (lane % h) * (c // m)  # omega_m^(j mod h) = omega^((j mod h)*C/m)
+            stages.append(pw[:, jnp.asarray(idx)])
+        return jax.device_get(jnp.stack(stages))
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev(log2n: int) -> np.ndarray:
+    idx = np.arange(1 << log2n, dtype=np.int32)
+    rev = np.zeros_like(idx)
+    for b in range(log2n):
+        rev |= ((idx >> b) & 1) << (log2n - 1 - b)
+    return rev
+
+
+# ---------------------------------------------------------------------------
+# the column-DFT kernel (DFT over the lane axis, radix-2 DIT)
+# ---------------------------------------------------------------------------
+
+def _lane_dft_kernel(log2c: int, rows: int, twiddled: bool,
+                     p_ref, tw_ref, u_ref, sf_ref, x_ref, o_ref):
+    """One (16, rows, C) tile: bit-reversed input (lanes), natural output.
+
+    Stage s pairs lanes at distance h = 2^(s-1) inside 2h-blocks. For the
+    even lane je of a pair (je, jo=je+h): t = w * x[jo]; out[je] = x[je] + t,
+    out[jo] = x[je] - t. Vectorized full-width: every lane computes its
+    pair's t (tw_ref holds w expanded to both lanes), then selects +/-.
+
+    When `twiddled`, the four-step inter-twiddle u^row (u = per-lane base,
+    sf = this tile's start factor u^(row0)) is applied incrementally.
+    """
+    ops = _fr_ops(p_ref)
+    c = 1 << log2c
+    interp = jax.default_backend() == "cpu"
+    roll = (lambda a, s: jnp.roll(a, s, 2)) if interp else (
+        lambda a, s: pltpu.roll(a, s % c, 2)
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
+    x = x_ref[:]
+    for s in range(1, log2c + 1):
+        h = 1 << (s - 1)
+        is_even = (lane & h) == 0  # lane mod 2h < h
+        tw = tw_ref[s - 1][:, None, :]  # (16, 1, C)
+        fwd = roll(x, -h)  # x[j+h]
+        bwd = roll(x, h)   # x[j-h]
+        odd_val = jnp.where(is_even, fwd, x)    # x[jo] at both lanes
+        even_val = jnp.where(is_even, x, bwd)   # x[je] at both lanes
+        t = ops.mont_mul(odd_val, tw)
+        x = jnp.where(is_even, ops.add(even_val, t), ops.sub(even_val, t))
+    if not twiddled:
+        o_ref[:] = ops.canon_out(x)
+    else:
+        # inter-step twiddle w^(j1*k2): row r of this tile scales by
+        # sf * u^r (u = per-lane base w^k2, sf = tile start factor u^row0).
+        # Built by log-doubling over the row axis - static shapes only
+        # (Mosaic has no dynamic_slice of loaded values), log2(rows) muls.
+        u = u_ref[:][:, None, :]      # (16, 1, C)
+        prog = sf_ref[0][:, None, :]  # (16, 1, C) start factor
+        step = u
+        while prog.shape[1] < rows:
+            prog = jnp.concatenate([prog, ops.mont_mul(prog, step)], axis=1)
+            step = ops.mont_mul(step, step)
+        o_ref[:] = ops.canon_out(ops.mont_mul(x, prog))
+
+
+@functools.lru_cache(maxsize=None)
+def _inter_tables(log2c: int, omega_n: int, rows: int, n_tiles: int):
+    """(u (16,C) per-lane inter-twiddle bases w^k2, sf (n_tiles,16,C) start
+    factors u^(g*rows)) - host-cached numpy, built on device by log-doubling."""
+    with jax.ensure_compile_time_eval():
+        c = 1 << log2c
+        u_pw = _geom_powers_t(
+            jnp.asarray(fp.int_to_limbs(CTX_R.to_mont_int(omega_n))), log2c
+        )
+        one_col = jnp.broadcast_to(
+            jnp.asarray(fp.int_to_limbs(CTX_R.r))[:, None], (NLIMBS, c)
+        ).astype(U32)
+        u_rows = u_pw
+        for _ in range(max(rows.bit_length() - 1, 0)):
+            u_rows = _colwise_mul(u_rows, u_rows)  # elementwise u^rows
+        tiles = [one_col]
+        step = u_rows
+        while len(tiles) < n_tiles:
+            tiles = tiles + [_colwise_mul(t, step) for t in tiles]
+            step = _colwise_mul(step, step)
+        sf_all = jnp.stack(tiles[:n_tiles])  # (n_tiles, 16, C)
+        return jax.device_get(u_pw), jax.device_get(sf_all)
+
+
+def _lane_dft_pass(x3: jnp.ndarray, log2c: int, omega: int,
+                   omega_n: int | None, rows_per_tile: int) -> jnp.ndarray:
+    """Run the lane-DFT kernel over x3 (16, R, C); DFT along the last axis.
+
+    omega_n: base of the four-step inter-twiddle w^(j1*k2) (None = plain
+    pass)."""
+    _, r_total, c = x3.shape
+    assert c == 1 << log2c
+    rows = min(rows_per_tile, r_total)
+    assert r_total % rows == 0
+    grid = (r_total // rows,)
+    tw = jnp.asarray(_pass_tables(log2c, omega))
+    s_stages = tw.shape[0]
+    twiddled = omega_n is not None
+    if twiddled:
+        u_np, sf_np = _inter_tables(log2c, omega_n, rows, grid[0])
+        u_in, sf_all = jnp.asarray(u_np), jnp.asarray(sf_np)
+    else:
+        sf_all = jnp.zeros((grid[0], NLIMBS, c), U32)
+        u_in = jnp.zeros((NLIMBS, c), U32)
+
+    p_col = jnp.broadcast_to(jnp.asarray(_FR_P_LIMBS)[:, None], (NLIMBS, c))
+    kern = functools.partial(_lane_dft_kernel, log2c, rows, twiddled)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((NLIMBS, c), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((s_stages, NLIMBS, c), lambda g: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NLIMBS, c), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NLIMBS, c), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((NLIMBS, rows, c), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((NLIMBS, rows, c), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, r_total, c), U32),
+        interpret=jax.default_backend() == "cpu",
+    )(p_col, tw, u_in, sf_all, x3)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2))
+def ntt_pallas(exp: int, coeffs: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    """Drop-in for ops.ntt.ntt: uint32[N,16] Montgomery Fr -> natural-order
+    DFT, out[k] = sum_j a_j w^(jk), via the four-step Pallas kernels."""
+    from .ntt import Domain
+
+    d = Domain(exp)
+    n = d.m
+    if n == 1:
+        return coeffs
+    w = d.omegainv if inverse else d.omega
+
+    log2r = exp // 2
+    log2c = exp - log2r
+    r, c = 1 << log2r, 1 << log2c
+    w_r = pow(w, c, R_MOD)  # order R
+    w_c = pow(w, r, R_MOD)  # order C
+
+    # M[j2, j1] = a[j1 + R*j2]  ->  limb-major (16, R=j1, C=j2)
+    x1 = jnp.moveaxis(coeffs.reshape(c, r, NLIMBS), 2, 0).transpose(0, 2, 1)
+    # pass 1: DFT_C over j2 (lanes), + inter-twiddle w^(j1*k2)
+    x1 = x1[:, :, jnp.asarray(_bitrev(log2c))]
+    rows1 = _rows_per_tile(log2r, log2c)
+    b = _lane_dft_pass(x1, log2c, w_c, w, rows1)  # (16, j1, k2)
+
+    # pass 2: DFT_R over j1 (lanes)
+    x2 = b.transpose(0, 2, 1)  # (16, k2, j1)
+    if log2r == 0:
+        out_m = x2  # size-1 DFT
+    else:
+        x2 = x2[:, :, jnp.asarray(_bitrev(log2r))]
+        rows2 = _rows_per_tile(log2c, log2r)
+        out_m = _lane_dft_pass(x2, log2r, w_r, None, rows2)  # (16, k2, k1)
+
+    out = out_m.transpose(2, 1, 0).reshape(n, NLIMBS)  # (k1, k2) row-major
+    if inverse:
+        out = fp.mont_mul(
+            CTX_R, out, jnp.asarray(fp.int_to_limbs(CTX_R.to_mont_int(d.minv)))
+        )
+    return out
+
+
+def _rows_per_tile(log2_rows_total: int, log2_lanes: int) -> int:
+    """Pick the sublane tile height: keep each (16, rows, C) block <= ~1 MiB
+    (in+out+double-buffering stays well under VMEM), minimum 8 sublanes."""
+    total = 1 << log2_rows_total
+    budget = (1 << 20) // (NLIMBS * (1 << log2_lanes) * 4)
+    rows = max(8, 1 << max(budget.bit_length() - 1, 0))
+    return min(rows, total)

@@ -8,9 +8,18 @@ the accumulator is sharded over a device mesh:
   tau powers - pure data parallelism, no communication (the TPU analog of
   Worker::scope chunking over batch_exp,
   /root/reference/powersoftau/src/batched_accumulator.rs:1130-1216).
-* `sharded_msm`: per-device partial multi-scalar sums combined with an
-  all_gather over ICI + a local tree reduction (the bucket-reduction
-  collective of the Pippenger plan, SURVEY.md section 2.6).
+* `sharded_msm`: per-device Pippenger bucket accumulation over the local
+  point shard, then one Jacobian partial per device combined with an
+  all_gather over ICI + a local tree reduction (SURVEY.md section 2.6, the
+  TPU analog of the per-window tasks in
+  /root/reference/bellman/src/multiexp.rs:53-157).
+
+  Why all_gather of one point rather than a bucket-level collective: Jacobian
+  point addition is not a `psum`-able monoid (it is not limb-wise +), so a
+  bucket-grid reduction would need an all_gather of all 2^c buckets per
+  window (2^c * 3 * 16 u32 lanes over ICI) followed by the same local adds.
+  Completing Pippenger locally first moves exactly one point per device and
+  leaves ICI traffic independent of c and N.
 """
 
 from __future__ import annotations
@@ -49,9 +58,42 @@ def _pow_mul_local(f, log2n_local: int, batch, tau_start_local, tau_pows, coeff)
     return G.jac_normalize(f, acc)
 
 
-def sharded_pow_mul(mesh: Mesh, group: str, batch: G.AffineBatch, tau: int, start: int, coeff: int | None):
+def _pow_mul_local_pallas(f, log2n_local: int, batch, tau_start_local, tau_pows, coeff):
+    """Per-shard tau-power ladder + fused Pallas batch-exp (TPU hot path).
+
+    Same math as _pow_mul_local; the scalar-mul runs in the Mosaic kernels
+    (GLV double ladder for G1, windowed ladder for G2)."""
+    from ..ops import glv_device, pallas_exp
+
+    powers = tau_start_local[None]
+    for j in range(log2n_local):
+        powers = jnp.concatenate(
+            [powers, fp.mont_mul(CTX_R, powers, tau_pows[j][None])], axis=0
+        )
+    powers = fp.mont_mul(CTX_R, powers, coeff[None])
+    scalars = fp.from_mont(CTX_R, powers)
+    if f.components == 1:
+        d1, d2, negs = glv_device.decompose_device(scalars)
+        ox, oy, oz = pallas_exp.pallas_batch_exp_glv(batch.x.T, batch.y.T, d1, d2, negs)
+        jac = G.JacobianBatch(ox.T, oy.T, oz.T)
+    else:
+        jac = pallas_exp.batch_exp_transposed_g2(batch.x, batch.y, scalars)
+    return G.jac_normalize(f, jac)
+
+
+def sharded_pow_mul(
+    mesh: Mesh,
+    group: str,
+    batch: G.AffineBatch,
+    tau: int,
+    start: int,
+    coeff: int | None,
+    use_pallas: bool | None = None,
+):
     """batch[i] * (coeff * tau^(start+i)) with the point batch sharded over
     the mesh; device d handles the contiguous slice [d*per, (d+1)*per)."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
     f = _field_ops(group)
     n = batch.inf.shape[0]
     ndev = mesh.devices.size
@@ -77,8 +119,9 @@ def sharded_pow_mul(mesh: Mesh, group: str, batch: G.AffineBatch, tau: int, star
     coeff_arr = fp.int_to_limbs(CTX_R.to_mont_int(coeff if coeff is not None else 1))
 
     pspec = _point_pspec(group)
+    local = _pow_mul_local_pallas if use_pallas else _pow_mul_local
     fn = shard_map(
-        functools.partial(_pow_mul_local, f, log2n_local),
+        functools.partial(local, f, log2n_local),
         mesh=mesh,
         in_specs=(
             pspec,
@@ -100,18 +143,26 @@ def _point_pspec(group: str):
     return G.AffineBatch(x=coord, y=coord, inf=P(AXIS))
 
 
-def _msm_local(f, batch, scalars):
-    """Local partial MSM + cross-device combination via all_gather."""
-    acc = G.batch_scalar_mul(f, batch, scalars)
-    n = batch.inf.shape[0]
-    while n > 1:
-        n //= 2
-        acc = G.jac_add(
-            f, jax.tree.map(lambda a: a[:n], acc), jax.tree.map(lambda a: a[n:], acc)
-        )
-    # gather the per-device partials onto every device and tree-reduce
+def _msm_local(f, c: int, batch, scalars):
+    """Per-device Pippenger over the local shard + all_gather combination."""
+    from ..ops import msm as msm_mod
+
+    if c == 0:
+        # tiny shards: plain ladder + tree sum (Pippenger's fixed 2^c-bucket
+        # cost isn't worth it below ~64 points per device)
+        acc = G.batch_scalar_mul(f, batch, scalars)
+        n = batch.inf.shape[0]
+        while n > 1:
+            n //= 2
+            acc = G.jac_add(
+                f, jax.tree.map(lambda a: a[:n], acc), jax.tree.map(lambda a: a[n:], acc)
+            )
+        acc = jax.tree.map(lambda a: a[0], acc)  # batch () like msm_pippenger
+    else:
+        acc = msm_mod.msm_pippenger(f, batch, scalars, c)
+    # one Jacobian partial per device: gather onto every device, tree-reduce
     gathered = jax.tree.map(
-        lambda a: jax.lax.all_gather(a, AXIS, axis=0, tiled=True), acc
+        lambda a: jax.lax.all_gather(a, AXIS, axis=0, tiled=False), acc
     )
     m = gathered.z.shape[0]
     while m > 1:
@@ -127,15 +178,24 @@ def _msm_local(f, batch, scalars):
 
 def sharded_msm(mesh: Mesh, group: str, batch: G.AffineBatch, scalars_canon: jnp.ndarray):
     """Multi-scalar multiplication with points+scalars sharded over the mesh;
-    returns a replicated single-point AffineBatch (leading axis 1)."""
+    returns a replicated single-point AffineBatch (leading axis 1).
+
+    Padding entries must carry scalar 0 or inf=True (both are skipped by the
+    bucket logic)."""
+    from ..ops import msm as msm_mod
+
     f = _field_ops(group)
+    n = batch.inf.shape[0]
+    per = n // mesh.devices.size
+    c = msm_mod.pick_window(per) if per >= 64 else 0
     pspec = _point_pspec(group)
     out_coord = P(None, None) if group == "g1" else P(None, None, None)
-    fn = shard_map(
-        functools.partial(_msm_local, f),
-        mesh=mesh,
-        in_specs=(pspec, P(AXIS, None)),
-        out_specs=G.AffineBatch(x=out_coord, y=out_coord, inf=P(None)),
-        check_vma=False,
-    )
-    return fn(batch, scalars_canon)
+    with fp.force_rolled():
+        fn = shard_map(
+            functools.partial(_msm_local, f, c),
+            mesh=mesh,
+            in_specs=(pspec, P(AXIS, None)),
+            out_specs=G.AffineBatch(x=out_coord, y=out_coord, inf=P(None)),
+            check_vma=False,
+        )
+        return fn(batch, scalars_canon)
