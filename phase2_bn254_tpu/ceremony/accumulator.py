@@ -134,12 +134,62 @@ def _power_pairs_check(backend, batch, g2_pair: tuple[rc.Point, rc.Point]) -> bo
 
 def _power_pairs_check_g2(backend, batch, g1_pair: tuple[rc.Point, rc.Point]) -> bool:
     s, sx = backend.power_pairs(batch)
+    return _same_ratio_g2((s, sx), g1_pair)
+
+
+def _same_ratio_g2(g2s: tuple[rc.Point, rc.Point], g1_pair: tuple[rc.Point, rc.Point]) -> bool:
+    s, sx = g2s
     # same_ratio with G2 on the left swaps pairing sides
     if s.is_zero() or sx.is_zero() or g1_pair[0].is_zero() or g1_pair[1].is_zero():
         return False
     from ..refimpl.pairing import pairing
 
     return pairing(g1_pair[1], s) == pairing(g1_pair[0], sx)
+
+
+class _RatioAccumulator:
+    """Cross-chunk batching of power_pairs same-ratio checks.
+
+    The reference runs two pairings per chunk per element kind
+    (/root/reference/powersoftau/src/batched_accumulator.rs:427-455); at
+    2^26 / batch 2^16 that is ~8000 pairings of host work. Every chunk of a
+    kind checks the SAME ratio (tau, alpha*tau, ... against the same
+    g2/g1 pair), so a second random-linear-combination layer is sound by
+    Schwartz-Zippel: accumulate r_k-weighted chunk pairs and run ONE
+    same_ratio per kind. On failure, fall back to per-chunk checks so the
+    offending chunk is still reported."""
+
+    def __init__(self, label: str, group: str = "g1"):
+        self.label = label
+        self.acc_s = rc.point_zero(group)
+        self.acc_sx = rc.point_zero(group)
+        self.chunks: list[tuple[int, rc.Point, rc.Point]] = []
+
+    def add(self, start: int, s: rc.Point, sx: rc.Point) -> None:
+        import secrets
+
+        r = 1 + secrets.randbelow(rc.R_MOD - 1)
+        self.acc_s = self.acc_s.add(s.mul(r))
+        self.acc_sx = self.acc_sx.add(sx.mul(r))
+        self.chunks.append((start, s, sx))
+
+    def check(self, pair, g2_side: bool = False) -> bool:
+        ok = (
+            _same_ratio_g2((self.acc_s, self.acc_sx), pair)
+            if g2_side
+            else same_ratio((self.acc_s, self.acc_sx), pair)
+        )
+        if ok:
+            return True
+        for start, s, sx in self.chunks:
+            chunk_ok = (
+                _same_ratio_g2((s, sx), pair) if g2_side else same_ratio((s, sx), pair)
+            )
+            if not chunk_ok:
+                log.error("%s power_pairs failed at chunk %d", self.label, start)
+                return False
+        log.error("%s combined power_pairs failed (no single chunk isolated)", self.label)
+        return False
 
 
 def verify_transformation(
@@ -212,31 +262,28 @@ def verify_transformation(
     g2_pair = (a_tau_g2[0], a_tau_g2[1])
     g1_pair = (a_tau_g1[0], a_tau_g1[1])
 
-    # chunked power_pairs spot checks with one-element overlap
+    # chunked power_pairs spot checks with one-element overlap; per-chunk
+    # MSMs feed cross-chunk ratio accumulators (one pairing check per kind
+    # at the end instead of two pairings per chunk)
+    accs = {
+        "tau_g1": _RatioAccumulator("tau_g1"),
+        "tau_g2": _RatioAccumulator("tau_g2", group="g2"),
+        "alpha_g1": _RatioAccumulator("alpha_tau_g1"),
+        "beta_g1": _RatioAccumulator("beta_tau_g1"),
+    }
     seam = [None, None]
     for start, size in params.chunks("low"):
         end = start + size - 1
         rsize = size + (0 if end == params.powers_length - 1 else 1)
-        batches = {}
         for kind in ("tau_g1", "tau_g2", "alpha_g1", "beta_g1"):
             raw = _read_elements(fout, params, kind, start, rsize, output_compressed)
-            batches[kind] = backend.decode(
+            batch = backend.decode(
                 raw, _group_of(kind), rsize, output_compressed, check_output
             )
-        if not _power_pairs_check(backend, batches["tau_g1"], g2_pair):
-            log.error("tau_g1 power_pairs failed at chunk %d", start)
-            return False
-        if not _power_pairs_check_g2(backend, batches["tau_g2"], g1_pair):
-            log.error("tau_g2 power_pairs failed at chunk %d", start)
-            return False
-        if not _power_pairs_check(backend, batches["alpha_g1"], g2_pair):
-            log.error("alpha_tau_g1 power_pairs failed at chunk %d", start)
-            return False
-        if not _power_pairs_check(backend, batches["beta_g1"], g2_pair):
-            log.error("beta_tau_g1 power_pairs failed at chunk %d", start)
-            return False
-        if end == params.powers_length - 1:
-            seam[0] = backend.last_point(batches["tau_g1"])
+            s, sx = backend.power_pairs(batch)
+            accs[kind].add(start, s, sx)
+            if kind == "tau_g1" and end == params.powers_length - 1:
+                seam[0] = backend.last_point(batch)
         log.info("verify: low region processed up to %d", end)
 
     for start, size in params.chunks("high"):
@@ -244,18 +291,23 @@ def verify_transformation(
         rsize = size + (0 if end == params.powers_g1_length - 1 else 1)
         raw = _read_elements(fout, params, "tau_g1", start, rsize, output_compressed)
         batch = backend.decode(raw, "g1", rsize, output_compressed, check_output)
-        if not _power_pairs_check(backend, batch, g2_pair):
-            log.error("tau_g1 power_pairs failed at high chunk %d", start)
-            return False
+        s, sx = backend.power_pairs(batch)
+        accs["tau_g1"].add(start, s, sx)
         if start == params.powers_length:
             seam[1] = backend.first_point(batch)
         log.info("verify: high region processed up to %d", end)
 
     # seam between the two regions (batched_accumulator.rs:533-539)
     seam_batch = backend.from_points(seam, "g1")
-    if not _power_pairs_check(backend, seam_batch, g2_pair):
-        log.error("tau_g1 region-seam power_pairs failed")
-        return False
+    s, sx = backend.power_pairs(seam_batch)
+    accs["tau_g1"].add(-1, s, sx)  # chunk id -1 = region seam
+
+    for kind, acc in accs.items():
+        if kind == "tau_g2":
+            if not acc.check(g1_pair, g2_side=True):
+                return False
+        elif not acc.check(g2_pair):
+            return False
     return True
 
 

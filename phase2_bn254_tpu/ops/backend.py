@@ -120,29 +120,37 @@ def _msm_kernel(f, batch: G.AffineBatch, scalars):
 
 @functools.partial(jax.jit, static_argnums=(0, 1))
 def _pow_mul_pallas(f, log2n: int, batch: G.AffineBatch, tau_start, tau_pows, coeff):
-    """pow_mul via the fused Pallas batch-exp kernel (G1, TPU only)."""
-    from . import pallas_exp
+    """pow_mul via the fused Pallas batch-exp kernel (G1/G2, TPU only).
 
-    powers = tau_start[None]
-    for j in range(log2n):
-        powers = jnp.concatenate(
-            [powers, fp.mont_mul(CTX_R, powers, tau_pows[j][None])], axis=0
-        )
-    powers = fp.mont_mul(CTX_R, powers, coeff[None])
-    scalars = fp.from_mont(CTX_R, powers)
+    All scalar glue (tau-power log-doubling, Montgomery exit, GLV split,
+    window extraction) runs in the transposed (16, N) limb layout - the
+    row-major [N, 16] fp path wastes 7/8 of every vector and used to cost
+    more than the ladder kernel itself."""
+    from . import glv_device, pallas_exp
+
+    scalars_t = pallas_exp.tau_powers_t(tau_start, tau_pows, coeff, log2n)
     if f.components == 1:
         if os.environ.get("PHASE2_TPU_NO_GLV"):
-            jac = pallas_exp.batch_exp_transposed(batch.x, batch.y, scalars)
+            digits_msb = pallas_exp.scalar_windows_t_msb(scalars_t)
+            ox, oy, oz = pallas_exp.pallas_batch_exp(batch.x.T, batch.y.T, digits_msb)
         else:
-            from . import glv_device
-
-            d1, d2, negs = glv_device.decompose_device(scalars)
+            d1, d2, negs = glv_device.decompose_device_t(scalars_t)
             ox, oy, oz = pallas_exp.pallas_batch_exp_glv(
                 batch.x.T, batch.y.T, d1, d2, negs
             )
-            jac = G.JacobianBatch(ox.T, oy.T, oz.T)
+        jac = G.JacobianBatch(ox.T, oy.T, oz.T)
     else:
-        jac = pallas_exp.batch_exp_transposed_g2(batch.x, batch.y, scalars)
+        digits_msb = pallas_exp.scalar_windows_t_msb(scalars_t)
+        x0, x1 = batch.x[:, 0].T, batch.x[:, 1].T
+        y0, y1 = batch.y[:, 0].T, batch.y[:, 1].T
+        ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_g2(
+            x0, x1, y0, y1, digits_msb
+        )
+
+        def pack(c0, c1):
+            return jnp.stack([c0.T, c1.T], axis=-2)
+
+        jac = G.JacobianBatch(pack(ox0, ox1), pack(oy0, oy1), pack(oz0, oz1))
     return G.jac_normalize(f, jac)
 
 

@@ -165,7 +165,11 @@ def _apply_signed(acc: jnp.ndarray, term: jnp.ndarray, sign: int) -> jnp.ndarray
 @jax.jit
 def decompose_device(scalars_canon: jnp.ndarray):
     """uint32[N,16] canonical scalars -> (d1_msb int32[33,N], d2_msb,
-    negs int32[2,N]) for the GLV pallas ladder."""
+    negs int32[2,N]) for the GLV pallas ladder.
+
+    Row-major digit layout (digits on the LAST axis): kept for the toy-size
+    paths; the production pipeline uses decompose_device_t below (digits on
+    sublanes, batch on lanes - full lane utilization on TPU)."""
     k = scalars_canon
     T_bits = DIG * TDIG
     c1 = _mul_digits(k, _M1_D, KDIG + TDIG, round_bit=T_bits - 1)[..., TDIG:]
@@ -197,6 +201,144 @@ def decompose_device(scalars_canon: jnp.ndarray):
         return jnp.stack(outs[::-1], axis=0)
 
     negs = jnp.stack(
+        [k1_neg.astype(jnp.int32), k2_neg.astype(jnp.int32)], axis=0
+    )
+    return windows(k1_mag), windows(k2_mag), negs
+
+
+# ---------------------------------------------------------------------------
+# transposed-layout implementation (digits on axis 0, batch on lanes)
+# ---------------------------------------------------------------------------
+#
+# Same Barrett math as decompose_device, but every array is (D, N): digit
+# rows live on sublanes and the batch fills the 128-wide lane dimension, so
+# every op runs at full VPU occupancy and carry chains are (1, N) row ops
+# (the row-major layout above leaves 7/8 of each vector idle and lowers
+# accumulation through scatter-adds).
+
+
+def _shift_rows(x: jnp.ndarray, off: int, width: int) -> jnp.ndarray:
+    """Place x's rows at offset `off` inside a (width, N) zero block."""
+    n = min(x.shape[0], width - off)
+    pads = []
+    if off:
+        pads.append(jnp.zeros((off, x.shape[1]), jnp.uint32))
+    pads.append(x[:n])
+    tail = width - off - n
+    if tail:
+        pads.append(jnp.zeros((tail, x.shape[1]), jnp.uint32))
+    return jnp.concatenate(pads, axis=0) if len(pads) > 1 else pads[0]
+
+
+def _carry_t(t: jnp.ndarray, out_digits: int) -> jnp.ndarray:
+    """Normalize u32 accumulator rows to 16-bit digit rows (truncate/extend)."""
+    rows = []
+    c = jnp.zeros((1, t.shape[1]), jnp.uint32)
+    n = t.shape[0]
+    for j in range(min(n, out_digits)):
+        v = t[j : j + 1] + c
+        rows.append(v & MASK)
+        c = v >> DIG
+    for _ in range(n, out_digits):
+        rows.append(c & MASK)
+        c = c >> DIG
+    return jnp.concatenate(rows, axis=0)
+
+
+def _mul_digits_t(k: jnp.ndarray, const_d: np.ndarray, out_digits: int, round_bit: int | None = None) -> jnp.ndarray:
+    """k (nk, N) digit rows x small constant -> (out_digits, N), truncated.
+
+    Deferred carries: each accumulator row collects <= 2*nc terms of < 2^16,
+    far below 2^32."""
+    nk, n = k.shape
+    nc = const_d.shape[0]
+    width = min(nk + nc + 1, out_digits + 1)
+    t = jnp.zeros((width, n), jnp.uint32)
+    for j in range(nc):
+        cj = int(const_d[j])
+        if cj == 0:
+            continue
+        prod = k * jnp.uint32(cj)
+        t = t + _shift_rows(prod & MASK, j, width)
+        if j + 1 < width:
+            t = t + _shift_rows(prod >> DIG, j + 1, width)
+    if round_bit is not None:
+        d, b = divmod(round_bit, DIG)
+        if d < width:
+            bump = jnp.full((1, n), 1 << b, jnp.uint32)
+            t = t + _shift_rows(bump, d, width)
+    return _carry_t(t, out_digits)
+
+
+def _sub_digits_t(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    ai = a.astype(jnp.int32)
+    bi = b.astype(jnp.int32)
+    borrow = jnp.zeros((1, a.shape[1]), jnp.int32)
+    rows = []
+    for j in range(a.shape[0]):
+        d = ai[j : j + 1] - bi[j : j + 1] - borrow
+        borrow = (d < 0).astype(jnp.int32)
+        rows.append((d + (borrow << DIG)).astype(jnp.uint32))
+    return jnp.concatenate(rows, axis=0)
+
+
+def _add_digits_t(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    carry = jnp.zeros((1, a.shape[1]), jnp.uint32)
+    rows = []
+    for j in range(a.shape[0]):
+        v = a[j : j + 1] + b[j : j + 1] + carry
+        rows.append(v & MASK)
+        carry = v >> DIG
+    return jnp.concatenate(rows, axis=0)
+
+
+def _twos_complement_abs_t(v: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    neg = (v[-1:] >> (DIG - 1)) != 0  # (1, N)
+    inv = (~v) & MASK
+    one = jnp.concatenate(
+        [jnp.ones((1, v.shape[1]), jnp.uint32), jnp.zeros((v.shape[0] - 1, v.shape[1]), jnp.uint32)],
+        axis=0,
+    )
+    negated = _add_digits_t(inv, one)
+    mag = jnp.where(neg, negated, v)
+    return mag, neg
+
+
+def _apply_signed_t(acc: jnp.ndarray, term: jnp.ndarray, sign: int) -> jnp.ndarray:
+    return _sub_digits_t(acc, term) if sign > 0 else _add_digits_t(acc, term)
+
+
+@jax.jit
+def decompose_device_t(scalars_t: jnp.ndarray):
+    """uint32[16, N] canonical transposed scalars -> (d1_msb int32[33,N],
+    d2_msb int32[33,N], negs int32[2,N]) - the production layout."""
+    k = scalars_t
+    T_bits = DIG * TDIG
+    c1 = _mul_digits_t(k, _M1_D, KDIG + TDIG, round_bit=T_bits - 1)[TDIG:]
+    c2 = _mul_digits_t(k, _M2_D, KDIG + TDIG, round_bit=T_bits - 1)[TDIG:]
+
+    k_low = k[:KDIG] if k.shape[0] >= KDIG else _carry_t(k, KDIG)
+    t1 = _mul_digits_t(c1, _A1_D, KDIG)
+    t2 = _mul_digits_t(c2, _A2_D, KDIG)
+    k1 = _apply_signed_t(k_low, t1, _S1 * _SA1)
+    k1 = _apply_signed_t(k1, t2, _S2 * _SA2)
+    u1 = _mul_digits_t(c1, _B1_D, KDIG)
+    u2 = _mul_digits_t(c2, _B2_D, KDIG)
+    zero = jnp.zeros_like(k_low)
+    k2 = _apply_signed_t(zero, u1, _S1 * _SB1)
+    k2 = _apply_signed_t(k2, u2, _S2 * _SB2)
+
+    k1_mag, k1_neg = _twos_complement_abs_t(k1)
+    k2_mag, k2_neg = _twos_complement_abs_t(k2)
+
+    def windows(mag):
+        outs = []
+        for w in range(33):
+            d, s = divmod(4 * w, DIG)
+            outs.append(((mag[d : d + 1] >> s) & 0xF).astype(jnp.int32))
+        return jnp.concatenate(outs[::-1], axis=0)
+
+    negs = jnp.concatenate(
         [k1_neg.astype(jnp.int32), k2_neg.astype(jnp.int32)], axis=0
     )
     return windows(k1_mag), windows(k2_mag), negs

@@ -635,3 +635,51 @@ def batch_exp_transposed(batch_x, batch_y, scalars_canon, tile: int = 512):
     digits_msb = jnp.flip(digits, axis=-1).T.astype(jnp.int32)  # (64, N)
     ox, oy, oz = pallas_batch_exp(x_t, y_t, digits_msb, tile)
     return G.JacobianBatch(ox.T, oy.T, oz.T)
+
+
+# ---------------------------------------------------------------------------
+# transposed Fr scalar glue (tau powers, Montgomery exit, window extraction)
+# ---------------------------------------------------------------------------
+#
+# The tau-power ladder and windowing used to run through the row-major
+# [N, 16] fp kernels, wasting 7/8 of every vector and costing more wall
+# clock than the ladder kernel itself. TOps is plain jnp, so the same
+# transposed-limb code runs as regular XLA ops outside pallas_call.
+
+from ..refimpl.field import R_MOD as _R_MOD  # noqa: E402
+
+_FR_P_LIMBS = fp.int_to_limbs(_R_MOD)
+_FR_PPRIME = (-pow(_R_MOD, -1, 1 << 16)) % (1 << 16)
+
+
+def fr_tops() -> TOps:
+    """Transposed-limb Fr ops usable under plain jit (non-lazy: canonical)."""
+    return TOps(jnp.asarray(_FR_P_LIMBS)[:, None], _FR_PPRIME)
+
+
+def tau_powers_t(tau_start, tau_pows, coeff, log2n: int) -> jnp.ndarray:
+    """coeff * tau^(start+i) for i in [0, 2^log2n), canonical, transposed.
+
+    tau_start/coeff: (16,) Montgomery Fr limbs; tau_pows[j]: (16,) Montgomery
+    limbs of tau^(2^j). Log-doubling: P_{2k} = [P_k, P_k * tau^k]. Returns
+    uint32[16, 2^log2n] CANONICAL scalars (Montgomery exit fused: one REDC
+    by integer 1)."""
+    ops = fr_tops()
+    out = tau_start[:, None]
+    for j in range(log2n):
+        out = jnp.concatenate([out, ops.mont_mul(out, tau_pows[j][:, None])], axis=1)
+    out = ops.mont_mul(out, coeff[:, None])
+    one_int = jnp.concatenate(
+        [jnp.ones((1, 1), U32), jnp.zeros((NLIMBS - 1, 1), U32)], axis=0
+    )
+    return ops.mont_mul(out, one_int)  # REDC(x * 1) = from_mont
+
+
+def scalar_windows_t_msb(scalars_t: jnp.ndarray) -> jnp.ndarray:
+    """uint32[16, N] canonical -> int32[64, N] 4-bit windows, MSB first
+    (the digit layout of pallas_batch_exp / the G2 ladder)."""
+    rows = []
+    for w in range(N_WINDOWS):
+        limb, s = divmod(4 * w, 16)
+        rows.append(((scalars_t[limb : limb + 1] >> s) & 0xF).astype(jnp.int32))
+    return jnp.concatenate(rows[::-1], axis=0)

@@ -61,23 +61,29 @@ def _pow_mul_local(f, log2n_local: int, batch, tau_start_local, tau_pows, coeff)
 def _pow_mul_local_pallas(f, log2n_local: int, batch, tau_start_local, tau_pows, coeff):
     """Per-shard tau-power ladder + fused Pallas batch-exp (TPU hot path).
 
-    Same math as _pow_mul_local; the scalar-mul runs in the Mosaic kernels
-    (GLV double ladder for G1, windowed ladder for G2)."""
+    Same math as _pow_mul_local; scalar glue runs in the transposed (16, N)
+    layout and the scalar-mul in the Mosaic kernels (GLV double ladder for
+    G1, windowed ladder for G2)."""
     from ..ops import glv_device, pallas_exp
 
-    powers = tau_start_local[None]
-    for j in range(log2n_local):
-        powers = jnp.concatenate(
-            [powers, fp.mont_mul(CTX_R, powers, tau_pows[j][None])], axis=0
-        )
-    powers = fp.mont_mul(CTX_R, powers, coeff[None])
-    scalars = fp.from_mont(CTX_R, powers)
+    tau_pows_t = [tau_pows[j] for j in range(log2n_local)]
+    scalars_t = pallas_exp.tau_powers_t(tau_start_local, tau_pows_t, coeff, log2n_local)
     if f.components == 1:
-        d1, d2, negs = glv_device.decompose_device(scalars)
+        d1, d2, negs = glv_device.decompose_device_t(scalars_t)
         ox, oy, oz = pallas_exp.pallas_batch_exp_glv(batch.x.T, batch.y.T, d1, d2, negs)
         jac = G.JacobianBatch(ox.T, oy.T, oz.T)
     else:
-        jac = pallas_exp.batch_exp_transposed_g2(batch.x, batch.y, scalars)
+        digits_msb = pallas_exp.scalar_windows_t_msb(scalars_t)
+        x0, x1 = batch.x[:, 0].T, batch.x[:, 1].T
+        y0, y1 = batch.y[:, 0].T, batch.y[:, 1].T
+        ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_g2(
+            x0, x1, y0, y1, digits_msb
+        )
+
+        def pack(c0, c1):
+            return jnp.stack([c0.T, c1.T], axis=-2)
+
+        jac = G.JacobianBatch(pack(ox0, ox1), pack(oy0, oy1), pack(oz0, oz1))
     return G.jac_normalize(f, jac)
 
 

@@ -86,9 +86,15 @@ class MPCParameters:
 
     # ------------------------------------------------------------------
     @classmethod
-    def new(cls, circuit, should_filter_points_at_infinity: bool, radix_path_for) -> "MPCParameters":
+    def new(cls, circuit, should_filter_points_at_infinity: bool, radix_path_for, backend=None) -> "MPCParameters":
         """parameters.rs:99-391. `circuit` has .synthesize(cs);
-        `radix_path_for(exp)` -> path of phase1radix2m{exp}."""
+        `radix_path_for(exp)` -> path of phase1radix2m{exp}.
+
+        With a device `backend`, the per-variable QAP evaluation runs as
+        four segmented MSMs on the device (ops/segsum.py) instead of the
+        host point-mul loop - bit-identical results, orders of magnitude
+        faster for real circuits (reference hot path:
+        /root/reference/phase2/src/parameters.rs:225-305)."""
         assembly = KeypairAssembly()
         assembly.alloc_input()  # the "one" variable
         circuit.synthesize(assembly)
@@ -126,7 +132,7 @@ class MPCParameters:
 
         ninp, naux = assembly.num_inputs, assembly.num_aux
 
-        def eval_section(at, bt, ct):
+        def eval_section_host(at, bt, ct):
             n = len(at)
             a_g1 = [rc.point_zero("g1")] * n
             b_g1 = [rc.point_zero("g1")] * n
@@ -143,6 +149,33 @@ class MPCParameters:
                 for coeff, lag in ct[i]:
                     ext[i] = ext[i].add(coeffs_g1[lag].mul(coeff))
             return a_g1, b_g1, b_g2, ext
+
+        def eval_section_device(at, bt, ct):
+            from ..ops.segsum import segmented_msm
+
+            n = len(at)
+
+            def run(terms_per_var, basis, group):
+                pts, scs, segs = [], [], []
+                for i, terms in enumerate(terms_per_var):
+                    for coeff, lag in terms:
+                        pts.append(basis[lag])
+                        scs.append(coeff)
+                        segs.append(i)
+                return segmented_msm(pts, scs, segs, n, group)
+
+            a_g1 = run(at, coeffs_g1, "g1")
+            b_g1 = run(bt, coeffs_g1, "g1")
+            b_g2 = run(bt, coeffs_g2, "g2")
+            # ext[i] = at.beta + bt.alpha + ct.coeffs - three basis vectors;
+            # run each matrix separately and add the three segment sums
+            e1 = run(at, beta_coeffs_g1, "g1")
+            e2 = run(bt, alpha_coeffs_g1, "g1")
+            e3 = run(ct, coeffs_g1, "g1")
+            ext = [e1[i].add(e2[i]).add(e3[i]) for i in range(n)]
+            return a_g1, b_g1, b_g2, ext
+
+        eval_section = eval_section_host if backend is None else eval_section_device
 
         a_in, b1_in, b2_in, ic = eval_section(
             assembly.at_inputs, assembly.bt_inputs, assembly.ct_inputs
@@ -217,7 +250,9 @@ class MPCParameters:
     # ------------------------------------------------------------------
     def verify(self, circuit, should_filter_points_at_infinity: bool, radix_path_for, backend=None) -> list[bytes]:
         """Full re-derivation verify (parameters.rs:529-658)."""
-        initial = MPCParameters.new(circuit, should_filter_points_at_infinity, radix_path_for)
+        initial = MPCParameters.new(
+            circuit, should_filter_points_at_infinity, radix_path_for, backend=backend
+        )
         _check_invariants(initial, self)
 
         sink = hashlib.blake2b()

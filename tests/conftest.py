@@ -16,11 +16,30 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# NOTE: no persistent compilation cache on CPU - XLA:CPU AOT cache entries
-# have crashed on reload in this environment (machine-feature mismatches in
-# the AOT loader lead to SIGSEGV/SIGILL). Setting the dir to a sentinel
-# prevents the package __init__ from installing its own cache either.
+# Keep the package __init__ from installing its own cache config; the test
+# cache is configured explicitly below.
 os.environ.setdefault("PHASE2_TPU_NO_CACHE", "1")
+
+# Persistent XLA:CPU compilation cache for the test suite. The suite's cost
+# is almost entirely XLA:CPU compiles (~36 min parallel cold); a warm cache
+# turns reruns into minutes. Round 1 disabled this after AOT-reload
+# crashes; re-validated 2026-08-17 on jax 0.9.0: entries written and
+# reloaded by the SAME machine+flags work (the loader's noisy
+# "prefer-no-scatter/gather" feature warnings are synthetic tuning prefs,
+# not ISA mismatches). The cache dir is keyed by platform+devcount and
+# lives under the repo so a different machine starts cold rather than
+# loading foreign AOT code. PHASE2_TPU_TEST_NO_CACHE=1 kills it.
+if not os.environ.get("PHASE2_TPU_TEST_NO_CACHE"):
+    import platform as _platform
+
+    _cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache",
+        f"jax_test_cpu8_{_platform.machine()}",
+    )
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -101,3 +101,15 @@ def test_phase2_mpc_end_to_end(radix_dir, tmp_path):
     assert set(pk) >= {"a", "b1", "b2", "c", "h", "vk_alfa_1", "vk_delta_1"}
     assert set(vk) >= {"ic", "vk_alfabeta_12", "inputs_count", "protocol"}
     assert pj["protocol"] == "groth"
+
+
+def test_device_qap_eval_matches_host(radix_dir):
+    """Segmented-MSM QAP evaluation (ops/segsum.py) vs the host point loop:
+    MPCParameters.new must be bit-identical (cs_hash pins the bytes)."""
+    from phase2_bn254_tpu.ops.backend import JaxBackend
+
+    circuit = CircomCircuit.from_json(CIRCUIT_JSON)
+    host = MPCParameters.new(circuit, True, _radix_path_for(radix_dir))
+    dev = MPCParameters.new(circuit, True, _radix_path_for(radix_dir), backend=JaxBackend())
+    assert host.cs_hash == dev.cs_hash
+    assert host.write() == dev.write()
