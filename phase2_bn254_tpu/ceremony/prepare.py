@@ -51,7 +51,17 @@ def prepare_phase2(
     out_dir: str = ".",
     max_degree: int | None = None,
 ) -> list[str]:
-    """Write phase1radix2m{m} files for m in 0..=size. Returns paths."""
+    """Write phase1radix2m{m} files for m in 0..=size. Returns paths.
+
+    Device backends run through the out-of-core path (ceremony/streaming.py):
+    regions decoded chunk-wise into host RAM, inverse group NTTs streamed
+    through the device one four-step matrix row at a time - domains beyond
+    device HBM (2^24+) work on one chip. The exact backend keeps its direct
+    in-memory path (it IS the parity oracle)."""
+    if getattr(backend, "name", "") != "exact":
+        return _prepare_phase2_streamed(
+            response_path, size, batch, backend, out_dir, max_degree
+        )
     params = CeremonyParams(size, batch)
     if os.path.getsize(response_path) != params.contribution_size:
         raise ValueError("response file has wrong size")
@@ -90,6 +100,86 @@ def prepare_phase2(
                     backend.slice(tau_g1, 0, degree - 1),
                 )
                 w.write(backend.encode_radix(h))
+        paths.append(name)
+        print(f"Created {name}")
+    return paths
+
+
+def _read_region_host(fin, params, kind, backend, compressed, check):
+    """Decode a full element region chunk-wise into host RAM."""
+    import numpy as np
+
+    from .streaming import HostPoints, pointset_to_host
+
+    group = "g2" if kind in ("tau_g2", "beta_g2") else "g1"
+    total = params.element_count(kind)
+    parts = []
+    start = 0
+    while start < total:
+        size = min(params.batch_size, total - start)
+        raw = _read_elements(fin, params, kind, start, size, compressed)
+        parts.append(pointset_to_host(backend.decode(raw, group, size, compressed, check)))
+        start += size
+    return HostPoints(
+        np.concatenate([p.x for p in parts]),
+        np.concatenate([p.y for p in parts]),
+        np.concatenate([p.inf for p in parts]),
+        group,
+    )
+
+
+def _prepare_phase2_streamed(response_path, size, batch, backend, out_dir, max_degree):
+    import numpy as np
+
+    from ..curve import codecs
+    from .streaming import HostPoints, encode_host, group_intt_streamed
+
+    params = CeremonyParams(size, batch)
+    if os.path.getsize(response_path) != params.contribution_size:
+        raise ValueError("response file has wrong size")
+
+    with open(response_path, "rb") as fin:
+        tau_g1 = _read_region_host(fin, params, "tau_g1", backend, True, True)
+        tau_g2 = _read_region_host(fin, params, "tau_g2", backend, True, True)
+        alpha_g1 = _read_region_host(fin, params, "alpha_g1", backend, True, True)
+        beta_g1 = _read_region_host(fin, params, "beta_g1", backend, True, True)
+        raw = _read_elements(fin, params, "beta_g2", 0, 1, True)
+        beta_g2_pt = rc.point_from_bytes(raw, "g2", True)
+
+    def head_point(hp):
+        return codecs.batch_to_points(hp.row(np.arange(1)), hp.group)[0]
+
+    def slice_host(hp, start, stop):
+        return HostPoints(hp.x[start:stop], hp.y[start:stop], hp.inf[start:stop], hp.group)
+
+    alpha0 = head_point(alpha_g1)
+    beta0 = head_point(beta_g1)
+
+    paths = []
+    top = size if max_degree is None else max_degree
+    for m in range(top + 1):
+        degree = 1 << m
+        name = os.path.join(out_dir, f"phase1radix2m{m}")
+        lag_g1 = group_intt_streamed(slice_host(tau_g1, 0, degree), m)
+        lag_g2 = group_intt_streamed(slice_host(tau_g2, 0, degree), m)
+        lag_alpha = group_intt_streamed(slice_host(alpha_g1, 0, degree), m)
+        lag_beta = group_intt_streamed(slice_host(beta_g1, 0, degree), m)
+        with open(name, "wb") as w:
+            w.write(rc.point_to_bytes(alpha0, False))
+            w.write(rc.point_to_bytes(beta0, False))
+            w.write(rc.point_to_bytes(beta_g2_pt, False))
+            w.write(encode_host(lag_g1))
+            w.write(encode_host(lag_g2))
+            w.write(encode_host(lag_alpha))
+            w.write(encode_host(lag_beta))
+            if degree > 1:
+                # H bases tau^(i+degree) - tau^i, streamed in chunks
+                for s in range(0, degree - 1, params.batch_size):
+                    e = min(s + params.batch_size, degree - 1)
+                    a = backend.from_batch(slice_host(tau_g1, degree + s, degree + e).row(np.arange(e - s)), "g1")
+                    b = backend.from_batch(slice_host(tau_g1, s, e).row(np.arange(e - s)), "g1")
+                    h = backend.sub_batches(a, b)
+                    w.write(backend.encode_radix(h))
         paths.append(name)
         print(f"Created {name}")
     return paths

@@ -36,6 +36,15 @@ def _default_backend():
         from ..refimpl.backend import ExactBackend
 
         return ExactBackend()
+    if os.environ.get("PHASE2_TPU_COORDINATOR") or os.environ.get(
+        "PHASE2_TPU_AUTO_DISTRIBUTED"
+    ):
+        # multi-host: join the process group, shard over the global mesh
+        from ..parallel import multihost
+        from ..parallel.backend import ShardedBackend
+
+        multihost.init_distributed()
+        return ShardedBackend(mesh=multihost.global_mesh())
     if choice == "sharded":
         from ..parallel.backend import ShardedBackend
 

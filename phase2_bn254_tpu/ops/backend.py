@@ -252,6 +252,10 @@ class JaxBackend:
     def from_points(self, points, group: str):
         return PointSet(codecs.points_to_batch(points, group), len(points), group)
 
+    def from_batch(self, batch: G.AffineBatch, group: str):
+        """Wrap an existing device AffineBatch (streamed host->device rows)."""
+        return PointSet(batch, batch.inf.shape[0], group)
+
     # -- prepare_phase2 support -------------------------------------------
     def slice(self, ps: PointSet, start: int, stop: int) -> PointSet:
         assert 0 <= start <= stop <= ps.n

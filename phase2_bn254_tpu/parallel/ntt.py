@@ -38,8 +38,12 @@ AXIS = "batch"  # reuse the ceremony mesh axis
 
 def _local_ntt(exp: int, rows: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     """Row-wise NTT of shape (rows, m, 16). For the inverse transform the two
-    local stages' m^-1 factors multiply to exactly the global 1/N."""
-    return jax.vmap(lambda v: sntt.ntt(exp, v, inverse))(rows)
+    local stages' m^-1 factors multiply to exactly the global 1/N.
+
+    Uses the XLA butterfly path explicitly: the Pallas four-step kernel is
+    not exercised under vmap-inside-shard_map (its own tiling already covers
+    the single-device case)."""
+    return jax.vmap(lambda v: sntt._ntt_xla(exp, v, inverse))(rows)
 
 
 def distributed_ntt(mesh: Mesh, exp: int, coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
@@ -59,14 +63,27 @@ def distributed_ntt(mesh: Mesh, exp: int, coeffs: jnp.ndarray, inverse: bool = F
     d = sntt.Domain(exp)
     w = d.omegainv if inverse else d.omega
 
-    # full twiddle power table W[t] = w^t for t in [0, N): gathered with
-    # index (j1*k2 mod N). Host-computed Montgomery limbs.
-    table = np.empty((n, fp.NLIMBS), dtype=np.uint32)
-    acc = 1
-    for t in range(n):
-        table[t] = fp.int_to_limbs(sntt.CTX_R.to_mont_int(acc))
-        acc = (acc * w) % R_MOD
-    table_j = jnp.asarray(table)
+    # per-device inter-step twiddles, built ON DEVICE by log-doubling:
+    # device with k2 offset o needs tw[c, j1] = w^(j1*(o+c)) for c in
+    # [0, n2/ndev). Memory and build cost are O(N/ndev) per device - the
+    # round-1 version materialized an O(N) host table (a Python loop of N
+    # Montgomery conversions) and replicated it to every device.
+    w_pows_host = [pow(w, 1 << j, R_MOD) for j in range(max(exp, 1))]
+    w_pows = jnp.asarray(
+        np.stack([fp.int_to_limbs(sntt.CTX_R.to_mont_int(v)) for v in w_pows_host])
+    )
+    one_mont = jnp.asarray(fp.int_to_limbs(sntt.CTX_R.r))
+
+    def _geom_rows(base_rows, log2len):
+        """rows[c] -> (c2, 2^log2len, L) geometric progressions rows[c]^j.
+
+        T_{2k} = [T_k, T_k * cur] with cur = base^(2^j) per row."""
+        t = jnp.broadcast_to(one_mont, base_rows.shape)[:, None, :]
+        cur = base_rows[:, None, :]
+        for _ in range(log2len):
+            t = jnp.concatenate([t, fp.mont_mul(sntt.CTX_R, t, cur)], axis=1)
+            cur = fp.mont_mul(sntt.CTX_R, cur, cur)
+        return t
 
     def local(x, tw_idx_base):
         L = fp.NLIMBS
@@ -82,10 +99,15 @@ def distributed_ntt(mesh: Mesh, exp: int, coeffs: jnp.ndarray, inverse: bool = F
         xt = jnp.swapaxes(xt, 0, 1)  # (c2, n1, L): one row per local k2
         # DFT over k1 (length n1) along rows -> index j1
         y = _local_ntt(exp1, xt, inverse)
-        # step 2: twiddle w^(j1 * k2); global k2 passed in tw_idx_base
-        j1 = jnp.arange(n1, dtype=jnp.uint32)[None, :]
-        k2g = tw_idx_base[:, None]
-        tw = table_j[(j1 * k2g) % n]  # (c2, n1, L)
+        # step 2: twiddle w^(j1*k2): base[c] = w^(k2g(c)) by binary expansion
+        # of the global k2 index, then geometric rows over j1
+        k2g = tw_idx_base  # (c2,) global k2 indices, < n2 = 2^exp2
+        base = jnp.broadcast_to(one_mont, (c2, fp.NLIMBS))
+        for j in range(exp2):
+            bit = ((k2g >> j) & 1).astype(bool)[:, None]
+            mul = fp.mont_mul(sntt.CTX_R, base, w_pows[j][None, :])
+            base = jnp.where(bit, mul, base)
+        tw = _geom_rows(base, exp1)  # (c2, n1, L)
         y = fp.mont_mul(sntt.CTX_R, y, tw)
         # step 3: all_to_all so each device holds a j1-slab complete in k2
         yt = jax.lax.all_to_all(
