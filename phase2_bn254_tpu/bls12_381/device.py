@@ -121,3 +121,53 @@ def batch_mul(points: list[host.Point], scalars: list[int], grp: str) -> list[ho
 
     out = jax.jit(kern)(batch, sc)
     return batch_to_points(jax.tree.map(np.asarray, out), grp)
+
+
+# ---------------------------------------------------------------------------
+# Pallas ladders (TPU hot path) - the BN254 Mosaic kernels are limb-generic,
+# so BLS12-381 only supplies its 24-limb field constants
+# ---------------------------------------------------------------------------
+
+_BLS_FLD = (
+    tuple(int(v) for v in fp.int_to_limbs(Q, 24)),
+    tuple(int(v) for v in fp.int_to_limbs((1 << 384) % Q, 24)),
+    (-pow(Q, -1, 1 << 16)) % (1 << 16),
+)
+
+
+def _windows_msb(sc_canon: jnp.ndarray) -> jnp.ndarray:
+    """(N, 17) canonical Fr limbs -> int32[68, N] 4-bit windows MSB-first."""
+    rows = []
+    for w in range(4 * 17):
+        limb, s = divmod(4 * w, 16)
+        rows.append(((sc_canon[:, limb] >> s) & 0xF).astype(jnp.int32))
+    return jnp.stack(rows[::-1], axis=0)
+
+
+def pallas_batch_mul(points: list[host.Point], scalars: list[int], grp: str) -> list[host.Point]:
+    """Fused Mosaic windowed ladder for BLS12-381 G1/G2 (TPU; interpreter on
+    CPU). Bit-exact with `batch_mul` / host `Point.mul`."""
+    from ..ops import pallas_exp
+
+    f = _field_ops(grp)
+    batch = points_to_batch(points, grp)
+    sc = scalars_to_canon(scalars)
+    digits_msb = _windows_msb(sc)
+    if grp == "g1":
+        ox, oy, oz = pallas_exp.pallas_batch_exp(
+            batch.x.T, batch.y.T, digits_msb, 512, _BLS_FLD
+        )
+        jac = group.JacobianBatch(ox.T, oy.T, oz.T)
+    else:
+        x0, x1 = batch.x[:, 0].T, batch.x[:, 1].T
+        y0, y1 = batch.y[:, 0].T, batch.y[:, 1].T
+        ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_g2(
+            x0, x1, y0, y1, digits_msb, 128, _BLS_FLD
+        )
+
+        def pack(c0, c1):
+            return jnp.stack([c0.T, c1.T], axis=-2)
+
+        jac = group.JacobianBatch(pack(ox0, ox1), pack(oy0, oy1), pack(oz0, oz1))
+    out = jax.jit(lambda j: group.jac_normalize(f, j))(jac)
+    return batch_to_points(jax.tree.map(np.asarray, out), grp)

@@ -54,16 +54,16 @@ class TOps:
 
     def __init__(self, p_col, pprime: int = _PPRIME, lazy: bool = False):
         self.p = p_col
+        self.n = p_col.shape[0]  # limb count (16 for BN254, 24 for BLS Fq)
         self.pprime = jnp.uint32(pprime)
         self.lazy = lazy
         if lazy:
             self.p2 = self._double_limbs(p_col)
 
-    @staticmethod
-    def _double_limbs(p):
+    def _double_limbs(self, p):
         c = jnp.zeros_like(p[0:1])
         out = []
-        for j in range(NLIMBS):
+        for j in range(self.n):
             v = (p[j : j + 1] << 1) + c
             out.append(v & MASK)
             c = v >> 16
@@ -79,9 +79,9 @@ class TOps:
         # t: rows 0..15 = low digits, row 16 = running top digit. Unrolled
         # CIOS written with slices/concats only (Mosaic has no scatter-add,
         # and cannot dynamic-slice loaded values).
-        t16 = jnp.zeros((NLIMBS, *tail), U32)
+        t16 = jnp.zeros((self.n, *tail), U32)
         top = jnp.zeros((1, *tail), U32)
-        for i in range(NLIMBS):
+        for i in range(self.n):
             prod = a[i : i + 1] * b  # (16, ...)
             lo = prod & MASK
             hi = prod >> 16
@@ -91,17 +91,16 @@ class TOps:
             t16 = t16 + (qprod & MASK)
             hi_sum = hi + (qprod >> 16)  # contributes to rows 1..16
             carry = t16[0:1] >> 16
-            shifted = jnp.concatenate([t16[1:NLIMBS], top], axis=0) + hi_sum
+            shifted = jnp.concatenate([t16[1 : self.n], top], axis=0) + hi_sum
             t16 = jnp.concatenate([shifted[0:1] + carry, shifted[1:]], axis=0)
             top = jnp.zeros((1, *tail), U32)
         t = self._canon(t16)
         return t if self.lazy else self._sub_p_if_ge(t)
 
-    @staticmethod
-    def _canon(t):
+    def _canon(self, t):
         digits = []
         c = jnp.zeros((1, *t.shape[1:]), U32)
-        for j in range(NLIMBS):
+        for j in range(self.n):
             v = t[j : j + 1] + c
             digits.append(v & MASK)
             c = v >> 16
@@ -112,7 +111,7 @@ class TOps:
         pi = jnp.broadcast_to(m, a.shape).astype(jnp.int32)
         borrow = jnp.zeros((1, *a.shape[1:]), jnp.int32)
         digits = []
-        for j in range(NLIMBS):
+        for j in range(self.n):
             d = ai[j : j + 1] - pi[j : j + 1] - borrow
             borrow = (d < 0).astype(jnp.int32)
             digits.append((d + (borrow << 16)).astype(U32))
@@ -130,7 +129,7 @@ class TOps:
         s = []
         shape = jnp.broadcast_shapes(a.shape, b.shape)
         c = jnp.zeros((1, *shape[1:]), U32)
-        for j in range(NLIMBS):
+        for j in range(self.n):
             v = a[j : j + 1] + b[j : j + 1] + c
             s.append(v & MASK)
             c = v >> 16
@@ -144,7 +143,7 @@ class TOps:
         bi = jnp.broadcast_to(b, shape).astype(jnp.int32)
         borrow = jnp.zeros((1, *shape[1:]), jnp.int32)
         digits = []
-        for j in range(NLIMBS):
+        for j in range(self.n):
             d = ai[j : j + 1] - bi[j : j + 1] - borrow
             borrow = (d < 0).astype(jnp.int32)
             digits.append((d + (borrow << 16)).astype(U32))
@@ -152,7 +151,7 @@ class TOps:
         pi = jnp.broadcast_to(self.p2 if self.lazy else self.p, shape)
         carry = jnp.zeros((1, *shape[1:]), U32)
         digits2 = []
-        for j in range(NLIMBS):
+        for j in range(self.n):
             v = diff[j : j + 1] + pi[j : j + 1] + carry
             digits2.append(v & MASK)
             carry = v >> 16
@@ -308,12 +307,16 @@ TOps.jac_add = lambda self, P, Q: jac_add(self, P, Q)
 N_WINDOWS = 64
 
 
-def _batch_exp_kernel(p_ref, one_ref, x_ref, y_ref, dig_ref, ox_ref, oy_ref, oz_ref, table_ref):
-    """One batch tile; dig_ref[w] holds 4-bit window 63-w (MSB first)."""
+def _batch_exp_kernel(pprime, p_ref, one_ref, x_ref, y_ref, dig_ref, ox_ref, oy_ref, oz_ref, table_ref):
+    """One batch tile; dig_ref[w] holds 4-bit window n_windows-1-w (MSB
+    first). Limb count and window count come from the ref shapes (shared by
+    the BN254 and BLS12-381 engines)."""
     T = x_ref.shape[1]
-    ops = TOps(p_ref[:], lazy=True)
-    ones = one_ref[:]  # Montgomery one, replicated (16, T) block
-    zeros = jnp.zeros((NLIMBS, T), U32)
+    NL = x_ref.shape[0]
+    n_windows = dig_ref.shape[0]
+    ops = TOps(p_ref[:], pprime, lazy=True)
+    ones = one_ref[:]  # Montgomery one, replicated (NL, T) block
+    zeros = jnp.zeros((NL, T), U32)
 
     # table[0] = infinity, table[1] = P, table[d] = table[d-1] + P
     table_ref[0, 0] = zeros
@@ -345,49 +348,60 @@ def _batch_exp_kernel(p_ref, one_ref, x_ref, y_ref, dig_ref, ox_ref, oy_ref, oz_
             ez = ops.sel(m, table_ref[k, 2], ez)
         return ops.jac_add(acc, (ex, ey, ez))
 
-    acc = jax.lax.fori_loop(0, N_WINDOWS, window, (zeros, ones, zeros))
+    acc = jax.lax.fori_loop(0, n_windows, window, (zeros, ones, zeros))
     ox_ref[:] = ops.canon_out(acc[0])
     oy_ref[:] = ops.canon_out(acc[1])
     oz_ref[:] = ops.canon_out(acc[2])
 
 
-@functools.partial(jax.jit, static_argnums=(3,))
-def pallas_batch_exp(x_t, y_t, digits_msb, tile: int = 512):
-    """x_t, y_t: uint32[16, N] transposed affine coords (Montgomery form, no
-    infinities); digits_msb: int32[64, N] windows MSB-first. Returns
-    transposed Jacobian (x, y, z) uint32[16, N]."""
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def pallas_batch_exp(x_t, y_t, digits_msb, tile: int = 512, fld=None):
+    """x_t, y_t: uint32[NL, N] transposed affine coords (Montgomery form, no
+    infinities); digits_msb: int32[n_windows, N] windows MSB-first. Returns
+    transposed Jacobian (x, y, z) uint32[NL, N].
+
+    `fld` = (p_limbs tuple, one_mont tuple, pprime) selects the base field;
+    None = BN254 Fq. BLS12-381 G1 passes its 24-limb constants."""
+    p_limbs, one_mont, pprime = fld if fld is not None else (
+        tuple(_P_LIMBS), tuple(_ONE_MONT), _PPRIME
+    )
+    nl = len(p_limbs)
+    nw = digits_msb.shape[0]
     n = x_t.shape[1]
     tile = min(tile, n)
     assert n % tile == 0
     grid = (n // tile,)
-    spec_const = pl.BlockSpec((NLIMBS, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    spec16 = pl.BlockSpec((NLIMBS, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    spec_dig = pl.BlockSpec((N_WINDOWS, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((NLIMBS, n), U32)] * 3
-    p_col = jnp.broadcast_to(jnp.asarray(_P_LIMBS)[:, None], (NLIMBS, tile))
-    one_col = jnp.broadcast_to(jnp.asarray(_ONE_MONT)[:, None], (NLIMBS, tile))
+    spec_const = pl.BlockSpec((nl, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec16 = pl.BlockSpec((nl, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_dig = pl.BlockSpec((nw, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((nl, n), U32)] * 3
+    p_col = jnp.broadcast_to(jnp.asarray(p_limbs, U32)[:, None], (nl, tile))
+    one_col = jnp.broadcast_to(jnp.asarray(one_mont, U32)[:, None], (nl, tile))
     return pl.pallas_call(
-        _batch_exp_kernel,
+        functools.partial(_batch_exp_kernel, pprime),
         grid=grid,
         in_specs=[spec_const, spec_const, spec16, spec16, spec_dig],
         out_specs=[spec16] * 3,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((16, 3, NLIMBS, tile), U32)],
+        scratch_shapes=[pltpu.VMEM((16, 3, nl, tile), U32)],
         interpret=jax.default_backend() == "cpu",
     )(p_col, one_col, x_t, y_t, digits_msb)
 
 
 def _batch_exp_kernel_g2(
-    p_ref, one_ref, x0_ref, x1_ref, y0_ref, y1_ref, dig_ref,
+    pprime, p_ref, one_ref, x0_ref, x1_ref, y0_ref, y1_ref, dig_ref,
     ox0_ref, ox1_ref, oy0_ref, oy1_ref, oz0_ref, oz1_ref, table_ref,
 ):
     """G2 variant: Fq2 coordinates as (c0, c1) limb planes; table scratch
-    holds 6 planes per entry (x0,x1,y0,y1,z0,z1)."""
+    holds 6 planes per entry (x0,x1,y0,y1,z0,z1). Shape-generic: works for
+    any u^2 = -1 quadratic tower (BN254 and BLS12-381 both qualify)."""
     T = x0_ref.shape[1]
-    fops = TOps(p_ref[:], lazy=True)
+    NL = x0_ref.shape[0]
+    n_windows = dig_ref.shape[0]
+    fops = TOps(p_ref[:], pprime, lazy=True)
     ops = T2Ops(fops)
     onep = one_ref[:]
-    zerop = jnp.zeros((NLIMBS, T), U32)
+    zerop = jnp.zeros((NL, T), U32)
     one2 = (onep, zerop)
     zero2 = (zerop, zerop)
 
@@ -425,32 +439,39 @@ def _batch_exp_kernel_g2(
             ez = ops.sel(m, (table_ref[k, 4], table_ref[k, 5]), ez)
         return jac_add(ops, acc, (ex, ey, ez))
 
-    acc = jax.lax.fori_loop(0, N_WINDOWS, window, (zero2, one2, zero2))
+    acc = jax.lax.fori_loop(0, n_windows, window, (zero2, one2, zero2))
     (ox0_ref[:], ox1_ref[:]) = ops.canon_out(acc[0])
     (oy0_ref[:], oy1_ref[:]) = ops.canon_out(acc[1])
     (oz0_ref[:], oz1_ref[:]) = ops.canon_out(acc[2])
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
-def pallas_batch_exp_g2(x0, x1, y0, y1, digits_msb, tile: int = 128):
-    """Transposed Fq2 coordinate planes uint32[16, N] -> Jacobian planes."""
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def pallas_batch_exp_g2(x0, x1, y0, y1, digits_msb, tile: int = 128, fld=None):
+    """Transposed Fq2 coordinate planes uint32[NL, N] -> Jacobian planes.
+
+    `fld` selects the base field as in pallas_batch_exp."""
+    p_limbs, one_mont, pprime = fld if fld is not None else (
+        tuple(_P_LIMBS), tuple(_ONE_MONT), _PPRIME
+    )
+    nl = len(p_limbs)
+    nw = digits_msb.shape[0]
     n = x0.shape[1]
     tile = min(tile, n)
     assert n % tile == 0
     grid = (n // tile,)
-    spec_const = pl.BlockSpec((NLIMBS, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    spec16 = pl.BlockSpec((NLIMBS, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    spec_dig = pl.BlockSpec((N_WINDOWS, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((NLIMBS, n), U32)] * 6
-    p_col = jnp.broadcast_to(jnp.asarray(_P_LIMBS)[:, None], (NLIMBS, tile))
-    one_col = jnp.broadcast_to(jnp.asarray(_ONE_MONT)[:, None], (NLIMBS, tile))
+    spec_const = pl.BlockSpec((nl, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec16 = pl.BlockSpec((nl, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_dig = pl.BlockSpec((nw, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((nl, n), U32)] * 6
+    p_col = jnp.broadcast_to(jnp.asarray(p_limbs, U32)[:, None], (nl, tile))
+    one_col = jnp.broadcast_to(jnp.asarray(one_mont, U32)[:, None], (nl, tile))
     return pl.pallas_call(
-        _batch_exp_kernel_g2,
+        functools.partial(_batch_exp_kernel_g2, pprime),
         grid=grid,
         in_specs=[spec_const, spec_const, spec16, spec16, spec16, spec16, spec_dig],
         out_specs=[spec16] * 6,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((16, 6, NLIMBS, tile), U32)],
+        scratch_shapes=[pltpu.VMEM((16, 6, nl, tile), U32)],
         interpret=jax.default_backend() == "cpu",
     )(p_col, one_col, x0, x1, y0, y1, digits_msb)
 
@@ -493,7 +514,7 @@ def _batch_exp_glv_kernel(
     ops = TOps(p_ref[:], lazy=True)
     ones = one_ref[:]
     beta = beta_ref[:]
-    zeros = jnp.zeros((NLIMBS, T), U32)
+    zeros = jnp.zeros((x_ref.shape[0], T), U32)
 
     table_ref[0, 0] = zeros
     table_ref[0, 1] = ones

@@ -57,6 +57,30 @@ def main():
     Q = group.JacobianBatch(y, x, fp.to_mont(CTX_Q, rand_fq(n)))
     x2 = FQ2.pack(x, y)
 
+    # --- roofline model -------------------------------------------------
+    # Peak VPU integer lane throughput (lanes * sublanes * clock). v5e: one
+    # TensorCore, 8x128 VPU at ~940 MHz => ~9.6e11 int32 lane-ops/s.
+    # Override with PHASE2_TPU_PEAK_LANE_OPS for other parts.
+    PEAK = float(os.environ.get("PHASE2_TPU_PEAK_LANE_OPS", 8 * 128 * 0.94e9))
+    L = fp.NLIMBS
+
+    # Analytic MINIMUM lane-op counts per element (multiplies only - the
+    # irreducible work): CIOS needs 2L^2 16x16 products (L^2 for a*b, L^2
+    # for m*p); add/sub need L lane-ops; a windowed 256-bit scalar mul with
+    # GLV needs ~2150 mont_muls (see ops/pallas_exp.py docs).
+    MIN_OPS = {
+        "fq mont_mul": 2 * L * L,
+        "fq mont_sqr": 2 * L * L,
+        "fr mont_mul": 2 * L * L,
+        "fq add": L,
+        "fq sub": L,
+        "fq2 mul": 3 * 2 * L * L,
+        "fq2 sqr": 2 * 2 * L * L,
+        "g1 jac_double": 7 * 2 * L * L,
+        "g1 jac_add": 16 * 2 * L * L,
+        "fq batch_inv": 3 * 2 * L * L,  # amortized Montgomery trick
+    }
+
     def timed(name, fn, *args, per=1):
         g = jax.jit(fn)
         out = g(*args)
@@ -67,7 +91,11 @@ def main():
             jax.block_until_ready(g(*args))
             best = min(best, time.perf_counter() - t0)
         ns = best / (n * per) * 1e9
-        print(f"{name:32s} {ns:10.1f} ns/op   {1e3/ns:8.2f} Mops/s  (batch {n})")
+        sol = ""
+        if name in MIN_OPS:
+            frac = MIN_OPS[name] / (ns * 1e-9 * PEAK)
+            sol = f"  {100 * frac:5.1f}% of mul-roofline"
+        print(f"{name:32s} {ns:10.1f} ns/op   {1e3/ns:8.2f} Mops/s  (batch {n}){sol}")
 
     print(f"platform: {jax.default_backend()}  devices: {len(jax.devices())}")
     timed("fq mont_mul", lambda u, v: fp.mont_mul(CTX_Q, u, v), x, y)
@@ -94,8 +122,9 @@ def main():
         jax.block_until_ready(g(aff, sc[:small]))
         best = min(best, time.perf_counter() - t0)
     us = best / small * 1e6
+    frac = (2150 * 2 * L * L) / (us * 1e-6 * PEAK)
     print(f"{'g1 windowed scalar-mul':32s} {us*1000:10.1f} ns/op   "
-          f"{1e6/us:8.0f} points/s  (batch {small})")
+          f"{1e6/us:8.0f} points/s  (batch {small})  {100*frac:5.1f}% of mul-roofline")
 
     # host pairing pieces (the reference benches miller_loop/final_exp too)
     from phase2_bn254_tpu.refimpl import curve as rc, pairing as rp

@@ -113,3 +113,17 @@ def test_device_qap_eval_matches_host(radix_dir):
     dev = MPCParameters.new(circuit, True, _radix_path_for(radix_dir), backend=JaxBackend())
     assert host.cs_hash == dev.cs_hash
     assert host.write() == dev.write()
+
+
+def test_portable_contribute(radix_dir):
+    """WASM-binding analog (phase2/src/lib.rs:26-88): one-shot byte-level
+    contribute with the Blake2b(entropy)-seeded RNG, pure host."""
+    from phase2_bn254_tpu.phase2.portable import contribute as portable_contribute
+
+    circuit = CircomCircuit.from_json(CIRCUIT_JSON)
+    mp = MPCParameters.new(circuit, True, _radix_path_for(radix_dir))
+    before_bytes = mp.write()
+    after_bytes, h = portable_contribute(before_bytes, b"portable entropy")
+    before = MPCParameters.read(before_bytes)
+    after = MPCParameters.read(after_bytes)
+    assert verify_contribution(before, after) == h
