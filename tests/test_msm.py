@@ -35,3 +35,35 @@ def test_msm_pippenger_matches_naive():
     for p, s in zip(pts, scalars):
         acc = acc.add(p.mul(s))
     assert got == acc
+
+
+def test_msm_pippenger_sized():
+    """Realistic occupancy: 2^12 points at the production window size
+    (pick_window) - exercises the wave while_loop with deep buckets and
+    multi-limb digit extraction across limb boundaries (VERDICT round-1
+    flagged that the wave path was only unit-tested at n=64, c=5)."""
+    import jax
+
+    from phase2_bn254_tpu.refimpl import glv as _  # noqa: F401 (host oracle import)
+
+    n = 1 << 12
+    base = [rc.G1_GEN.mul(random.randrange(1, R_MOD)) for _ in range(32)]
+    pts = base * (n // 32)
+    scalars = [random.randrange(R_MOD) for _ in range(n)]
+    batch = codecs.points_to_batch(pts, "g1")
+    sc = jnp.asarray(np.stack([fp.int_to_limbs(s) for s in scalars]))
+    f = _field_ops("g1")
+    c = msm.pick_window(n)
+    with fp.force_rolled():
+        out = msm.msm_pippenger(f, batch, sc, c)
+    expanded = jax.tree.map(lambda a: a[None], out)
+    got = codecs.batch_to_points(G.jac_normalize(f, expanded), "g1")[0]
+
+    # host check: fold scalars per distinct base point (pts repeats base)
+    acc_scalars = [0] * 32
+    for i, s in enumerate(scalars):
+        acc_scalars[i % 32] = (acc_scalars[i % 32] + s) % R_MOD
+    acc = rc.point_zero("g1")
+    for p, s in zip(base, acc_scalars):
+        acc = acc.add(p.mul(s))
+    assert got == acc
