@@ -1,24 +1,22 @@
-"""SONIC scaffolding: structured reference string + polynomial commitment
-core + transcript, mirroring the reference's feature-flagged subsystem
-(/root/reference/bellman/src/sonic/, ~6.5k LoC at "~90%" completeness).
+"""SONIC proof system (/root/reference/bellman/src/sonic/).
 
-Scope (per the reference's own core, which everything else builds on):
+Layers (submodules mirror the reference's tree):
 
-* `SRS` - the bivariate structured reference string over negative and
-  positive powers of x and alpha*x (sonic/srs/srs.rs:9-115), with the same
-  uncompressed byte serialization (u32-BE d, then the eight point vectors).
-* Kate/laurent division and the polynomial commitment scheme:
-  `polynomial_commitment` (util.rs:75-109), `polynomial_commitment_opening`
-  (util.rs:113-148), `check_polynomial_commitment` (util.rs:535-568: the
-  e(W, h^{alpha x}) e(g^v W^{-z}, h^alpha) = e(F, h^{x^{-d+max}}) check).
-* Polynomial utilities: multiply (NTT-backed), add/sub/scale, evaluation
-  at consecutive powers (util.rs:151-280, 630-878).
-* `Transcript` - rolling-hash Fiat-Shamir transcript over Keccak-256
-  (sonic/transcript/mod.rs + hasher.rs), with the same commit_point /
-  commit_scalar / get_challenge_scalar surface.
-
-The helped/unhelped prover layers above this core remain out of scope, as
-in the reference's ceremony usage (no SONIC binary exists upstream either).
+* this module - the core everything builds on: `SRS` (srs/srs.rs), the
+  Kate/Laurent polynomial commitment scheme (util.rs:75-148, 535-568),
+  polynomial utilities (NTT-backed multiply), and the Keccak-256
+  Fiat-Shamir `Transcript` (transcript/).
+* `cs` / `synthesis` - the A/B/C-wire constraint system, the three
+  synthesizers (assigning, nonassigning, M=3 permutation) and standard
+  backends (cs/, sonic/constraint_systems.rs, sonic/backends.rs).
+* `poly` - SxEval / SyEval partial evaluations of S(X, Y) (helped/poly.rs).
+* `helped` / `prover` / `verifier` / `helper` - the helped protocol:
+  Proof/SxyAdvice/VerifyingKey/Parameters containers with reference byte
+  formats, create_proof / create_advice, the batched MultiVerifier, and
+  cross-proof aggregation (helped/).
+* `adaptor` - runs bellman-style R1CS circuits (groth16.cs interface) on a
+  sonic constraint system (sonic/adaptor.rs).
+* `unhelped` - the succinct arguments (signatures of correct computation).
 """
 
 from __future__ import annotations
@@ -288,3 +286,42 @@ class Transcript:
             v = int.from_bytes(h, "big") >> 2  # shave to < 2^254
             if v < R_MOD:
                 return v
+
+
+# ---------------------------------------------------------------------------
+# public API re-exports (submodules; imported last to avoid cycles)
+# ---------------------------------------------------------------------------
+
+from .cs import LinearCombination as SonicLinearCombination  # noqa: E402
+from .cs import Circuit as SonicCircuit  # noqa: E402
+from .synthesis import (  # noqa: E402
+    basic_synthesize,
+    nonassigning_synthesize,
+    permutation3_synthesize,
+)
+from .helped import (  # noqa: E402
+    Batch,
+    CircuitParameters,
+    Parameters,
+    Proof,
+    SxyAdvice,
+    VerifyingKey,
+    generate_parameters,
+    generate_srs,
+    get_circuit_parameters,
+)
+from .prover import (  # noqa: E402
+    create_advice,
+    create_advice_on_srs,
+    create_proof,
+    create_proof_on_srs,
+)
+from .verifier import (  # noqa: E402
+    MultiVerifier,
+    verify_aggregate,
+    verify_aggregate_on_srs,
+    verify_proofs,
+    verify_proofs_on_srs,
+)
+from .helper import Aggregate, create_aggregate, create_aggregate_on_srs  # noqa: E402
+from .adaptor import Adaptor, AdaptorCircuit  # noqa: E402
