@@ -36,24 +36,72 @@ FQ12_ONE: Fq12 = (FQ2_ONE,) + (FQ2_ZERO,) * 5
 FQ12_ZERO: Fq12 = (FQ2_ZERO,) * 6
 
 
+# Internally Fq12 = Fq6[w]/(w^2 - v) with Fq6 = Fq2[v]/(v^3 - xi); the
+# w-basis tuple maps to the tower as c0 = (a0, a2, a4), c1 = (a1, a3, a5)
+# (the reference's fq6.rs/fq12.rs layout). Karatsuba: a full Fq12 mul costs
+# 18 Fq2 muls (3 Fq6 muls of 6) instead of 36 schoolbook.
+
+def _fq6_mul(a0, a1, a2, b0, b1, b2):
+    v0, v1, v2 = a0 * b0, a1 * b1, a2 * b2
+    c0 = v0 + ((a1 + a2) * (b1 + b2) - v1 - v2) * XI
+    c1 = (a0 + a1) * (b0 + b1) - v0 - v1 + v2 * XI
+    c2 = (a0 + a2) * (b0 + b2) - v0 + v1 - v2
+    return c0, c1, c2
+
+
+def _fq6_mul_by_v(a0, a1, a2):
+    return a2 * XI, a0, a1
+
+
 def fq12_mul(a: Fq12, b: Fq12) -> Fq12:
-    c = [FQ2_ZERO] * 11
-    for i in range(6):
-        ai = a[i]
-        if ai.is_zero():
-            continue
-        for j in range(6):
-            if b[j].is_zero():
-                continue
-            c[i + j] = c[i + j] + ai * b[j]
-    out = list(c[:6])
-    for k in range(6, 11):
-        out[k - 6] = out[k - 6] + c[k] * XI
-    return tuple(out)
+    aa = _fq6_mul(a[0], a[2], a[4], b[0], b[2], b[4])
+    bb = _fq6_mul(a[1], a[3], a[5], b[1], b[3], b[5])
+    cc = _fq6_mul(
+        a[0] + a[1], a[2] + a[3], a[4] + a[5],
+        b[0] + b[1], b[2] + b[3], b[4] + b[5],
+    )
+    vb = _fq6_mul_by_v(*bb)
+    c0 = tuple(x + y for x, y in zip(aa, vb))
+    c1 = tuple(c - x - y for c, x, y in zip(cc, aa, bb))
+    return c0[0], c1[0], c0[1], c1[1], c0[2], c1[2]
 
 
 def fq12_sqr(a: Fq12) -> Fq12:
-    return fq12_mul(a, a)
+    """Complex squaring over the w^2 = v tower: 2 Fq6 muls."""
+    a0 = (a[0], a[2], a[4])
+    a1 = (a[1], a[3], a[5])
+    v0 = _fq6_mul(*a0, *a1)
+    t = _fq6_mul_by_v(*a1)
+    s0 = tuple(x + y for x, y in zip(a0, a1))
+    s1 = tuple(x + y for x, y in zip(a0, t))
+    c0 = _fq6_mul(*s0, *s1)
+    vv0 = _fq6_mul_by_v(*v0)
+    c0 = tuple(c - x - y for c, x, y in zip(c0, v0, vv0))
+    c1 = tuple(2 * x for x in v0)
+    return c0[0], c1[0], c0[1], c1[1], c0[2], c1[2]
+
+
+def fq12_mul_line(f: Fq12, c0: int, c1: Fq2, c3: Fq2) -> Fq12:
+    """f * (c0 + c1 w + c3 w^3) with c0 in Fq - the D-twist ate line shape.
+
+    This is the tower-coordinate sparse mul (`mul_by_034`/`mul_by_014`
+    analog, /root/reference/pairing/src/bn256/fq12.rs): 13 Fq2 muls."""
+    out = [fi * c0 for fi in f]
+    for i in range(6):
+        j = i + 1
+        t = f[i] * c1
+        if j >= 6:
+            j -= 6
+            t = t * XI
+        out[j] = out[j] + t
+    for i in range(6):
+        j = i + 3
+        t = f[i] * c3
+        if j >= 6:
+            j -= 6
+            t = t * XI
+        out[j] = out[j] + t
+    return tuple(out)
 
 
 def fq12_conj_w(a: Fq12) -> Fq12:
@@ -135,17 +183,49 @@ _HARD_EXP = (Q**4 - Q**2 + 1) // R_MOD
 
 
 def final_exponentiation(f: Fq12) -> Fq12:
-    """f^((q^12-1)/r) = easy part (q^6-1)(q^2+1) then hard part."""
-    # f^(q^6 - 1)
-    t = fq12_mul(fq12_conj_w(f), fq12_inv(f))
-    # ^(q^2 + 1)
-    t = fq12_mul(fq12_frobenius(t, 2), t)
-    # hard part (q^4 - q^2 + 1)/r (direct; refimpl is not perf-critical)
-    return fq12_pow(t, _HARD_EXP)
+    """f^((q^12-1)/r): easy part (q^6-1)(q^2+1), then the BN hard part via
+    the Frobenius/exp-by-u addition chain
+    (/root/reference/pairing/src/bn256/mod.rs:132-227; Devegili-Scott-Dahab).
+    Inverses in the cyclotomic subgroup are w-conjugations."""
+    # easy part
+    r = fq12_mul(fq12_conj_w(f), fq12_inv(f))
+    r = fq12_mul(fq12_frobenius(r, 2), r)
+
+    # hard part (q^4 - q^2 + 1)/r
+    fp = fq12_frobenius(r, 1)
+    fp2 = fq12_frobenius(r, 2)
+    fp3 = fq12_frobenius(fp2, 1)
+    fu = fq12_pow(r, BN_U)
+    fu2 = fq12_pow(fu, BN_U)
+    fu3 = fq12_pow(fu2, BN_U)
+    y0 = fq12_mul(fq12_mul(fp, fp2), fp3)
+    y1 = fq12_conj_w(r)
+    y2 = fq12_frobenius(fu2, 2)
+    y3 = fq12_conj_w(fq12_frobenius(fu, 1))
+    y4 = fq12_conj_w(fq12_mul(fu, fq12_frobenius(fu2, 1)))
+    y5 = fq12_conj_w(fu2)
+    y6 = fq12_conj_w(fq12_mul(fu3, fq12_frobenius(fu3, 1)))
+    t = fq12_mul(fq12_mul(fq12_sqr(y6), y4), y5)
+    t1 = fq12_mul(fq12_mul(y3, y5), t)
+    t = fq12_mul(t, y2)
+    t1 = fq12_sqr(fq12_mul(fq12_sqr(t1), t))
+    t0 = fq12_mul(t1, y1)
+    t1 = fq12_mul(t1, y0)
+    return fq12_mul(fq12_sqr(t0), t1)
 
 
 def pairing(p: Point, q: Point) -> Fq12:
-    """Reduced Tate pairing; accepts infinity (returns 1)."""
+    """Reduced optimal-ate pairing (the default pairing for all ratio
+    checks and serialized Fq12 values); accepts infinity (returns 1)."""
+    if p.is_zero() or q.is_zero():
+        return FQ12_ONE
+    return final_exponentiation(miller_loop_ate(p, q))
+
+
+def tate_pairing(p: Point, q: Point) -> Fq12:
+    """Reduced Tate pairing - kept as an independent second implementation
+    for oracle cross-checks (differs from the ate value by a fixed power
+    coprime to r, so boolean same-ratio behavior matches)."""
     if p.is_zero() or q.is_zero():
         return FQ12_ONE
     return final_exponentiation(_miller_safe(p, q))
@@ -209,77 +289,59 @@ BN_U = 4965661367192848881  # mod.rs:29
 ATE_LOOP = 6 * BN_U + 2
 
 
-def _emb_point(q: Point) -> tuple[Fq12, Fq12]:
-    return _psi(q)
+# twist Frobenius endomorphism psi(x, y) = (conj(x) g2, conj(y) g3) maps
+# E'(Fq2) to itself and commutes with the untwist into E(Fq12)
+_TW_G2 = XI.pow((Q - 1) // 3)
+_TW_G3 = XI.pow((Q - 1) // 2)
+_TW_G2_SQ = XI.pow((Q * Q - 1) // 3)
+_TW_G3_SQ = XI.pow((Q * Q - 1) // 2)
 
 
-def _fq12_of_fq(v: int) -> Fq12:
-    return (Fq2(v, 0),) + (FQ2_ZERO,) * 5
+def _ate_double(tx: Fq2, ty: Fq2, px: int, py: int):
+    """Double T on the twist; return (T2, line coeffs (c0, c1, c3)).
+
+    Line through T with Fq2 slope lam, untwisted and evaluated at P:
+    l = py - lam*px*w + (lam*tx - ty)*w^3."""
+    lam = tx.square() * 3 * (ty * 2).inverse()
+    x3 = lam.square() - tx * 2
+    y3 = lam * (tx - x3) - ty
+    return x3, y3, (py, lam * (-px), lam * tx - ty)
 
 
-def _emb_double(ax: Fq12, ay: Fq12) -> tuple[Fq12, Fq12, Fq12]:
-    """Affine doubling in E(Fq12); returns (x3, y3, lambda)."""
-    three_x2 = fq12_mul(fq12_mul(ax, ax), _fq12_of_fq(3))
-    lam = fq12_mul(three_x2, fq12_inv(fq12_mul(ay, _fq12_of_fq(2))))
-    x3 = tuple(a - b for a, b in zip(fq12_mul(lam, lam), tuple(2 * c for c in ax)))
-    y3 = tuple(
-        a - b
-        for a, b in zip(fq12_mul(lam, tuple(a - b for a, b in zip(ax, x3))), ay)
-    )
-    return x3, y3, lam
-
-
-def _emb_add(ax: Fq12, ay: Fq12, bx: Fq12, by: Fq12) -> tuple[Fq12, Fq12, Fq12]:
-    """Affine addition (distinct x) in E(Fq12); returns (x3, y3, lambda)."""
-    lam = fq12_mul(
-        tuple(a - b for a, b in zip(by, ay)),
-        fq12_inv(tuple(a - b for a, b in zip(bx, ax))),
-    )
-    x3 = tuple(
-        a - b - c for a, b, c in zip(fq12_mul(lam, lam), ax, bx)
-    )
-    y3 = tuple(
-        a - b
-        for a, b in zip(fq12_mul(lam, tuple(a - b for a, b in zip(ax, x3))), ay)
-    )
-    return x3, y3, lam
+def _ate_add(tx: Fq2, ty: Fq2, qx: Fq2, qy: Fq2, px: int, py: int):
+    """Add Q into T on the twist (distinct x, guaranteed for r-torsion
+    inputs along the 6u+2 ate schedule); returns (T+Q, line coeffs)."""
+    d = qx - tx
+    assert not d.is_zero(), "ate addition degenerate: input not in r-torsion"
+    lam = (qy - ty) * d.inverse()
+    x3 = lam.square() - tx - qx
+    y3 = lam * (tx - x3) - ty
+    return x3, y3, (py, lam * (-px), lam * tx - ty)
 
 
 def miller_loop_ate(p: Point, q: Point) -> Fq12:
-    """f_{6u+2,Q}(P) * l_{T,piQ}(P) * l_{T+piQ,-pi2Q}(P), verticals elided."""
-    qx, qy = _emb_point(q)
+    """f_{6u+2,Q}(P) * l_{T,piQ}(P) * l_{T+piQ,-pi2Q}(P), verticals elided.
+
+    Runs entirely in twist-affine Fq2 coordinates with sparse line
+    multiplications (/root/reference/pairing/src/bn256/mod.rs:57-130 uses
+    the same loop with prepared projective coefficients)."""
+    px, py = p.x, p.y
+    qx, qy = q.x, q.y
     tx, ty = qx, qy
     f = FQ12_ONE
-    px, py = p.x, p.y
     for bit in bin(ATE_LOOP)[3:]:
-        tx2, ty2, lam = _emb_double(tx, ty)
-        f = fq12_mul(fq12_sqr(f), _line_fq12(tx, ty, lam, px, py))
-        tx, ty = tx2, ty2
+        tx, ty, line = _ate_double(tx, ty, px, py)
+        f = fq12_mul_line(fq12_sqr(f), *line)
         if bit == "1":
-            tx2, ty2, lam = _emb_add(tx, ty, qx, qy)
-            f = fq12_mul(f, _line_fq12(tx, ty, lam, px, py))
-            tx, ty = tx2, ty2
-    # Frobenius correction lines
-    q1x, q1y = fq12_frobenius(qx, 1), fq12_frobenius(qy, 1)
-    q2x, q2y = fq12_frobenius(qx, 2), fq12_frobenius(qy, 2)
-    nq2y = tuple(-c for c in q2y)
-    tx2, ty2, lam = _emb_add(tx, ty, q1x, q1y)
-    f = fq12_mul(f, _line_fq12(tx, ty, lam, px, py))
-    tx, ty = tx2, ty2
-    _, _, lam = _emb_add(tx, ty, q2x, nq2y)
-    f = fq12_mul(f, _line_fq12(tx, ty, lam, px, py))
-    return f
-
-
-def _line_fq12(ax: Fq12, ay: Fq12, lam: Fq12, px: int, py: int) -> Fq12:
-    """Line through A with slope lam, evaluated at P=(px,py) in G1:
-    (py - ay) - lam*(px - ax)."""
-    lam_ax = fq12_mul(lam, ax)
-    lam_px = tuple(ci * px for ci in lam)
-    out = [a - b for a, b in zip(lam_ax, lam_px)]
-    out = [o - a for o, a in zip(out, ay)]
-    out[0] = out[0] + Fq2(py, 0)
-    return tuple(out)
+            tx, ty, line = _ate_add(tx, ty, qx, qy, px, py)
+            f = fq12_mul_line(f, *line)
+    # Frobenius correction lines: +psi(Q), then -psi^2(Q)
+    q1x, q1y = qx.conjugate() * _TW_G2, qy.conjugate() * _TW_G3
+    q2x, q2y = qx * _TW_G2_SQ, qy * _TW_G3_SQ
+    tx, ty, line = _ate_add(tx, ty, q1x, q1y, px, py)
+    f = fq12_mul_line(f, *line)
+    _, _, line = _ate_add(tx, ty, q2x, -q2y, px, py)
+    return fq12_mul_line(f, *line)
 
 
 def ate_pairing(p: Point, q: Point) -> Fq12:
