@@ -126,7 +126,7 @@ def _pow_mul_pallas(f, log2n: int, batch: G.AffineBatch, tau_start, tau_pows, co
     window extraction) runs in the transposed (16, N) limb layout - the
     row-major [N, 16] fp path wastes 7/8 of every vector and used to cost
     more than the ladder kernel itself."""
-    from . import glv_device, pallas_exp
+    from . import glv_device, gls_device, pallas_exp
 
     scalars_t = pallas_exp.tau_powers_t(tau_start, tau_pows, coeff, log2n)
     if f.components == 1:
@@ -140,12 +140,21 @@ def _pow_mul_pallas(f, log2n: int, batch: G.AffineBatch, tau_start, tau_pows, co
             )
         jac = G.JacobianBatch(ox.T, oy.T, oz.T)
     else:
-        digits_msb = pallas_exp.scalar_windows_t_msb(scalars_t)
         x0, x1 = batch.x[:, 0].T, batch.x[:, 1].T
         y0, y1 = batch.y[:, 0].T, batch.y[:, 1].T
-        ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_g2(
-            x0, x1, y0, y1, digits_msb
-        )
+        if os.environ.get("PHASE2_TPU_GLS"):
+            # GLS quad ladder: algorithm-validated (tests/test_gls.py) but
+            # its Mosaic compile is still unverified on real hardware -
+            # opt-in until a clean TPU run lands, then flip the default
+            digits, negs = gls_device.decompose_device_t(scalars_t)
+            ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_gls(
+                x0, x1, y0, y1, digits, negs
+            )
+        else:
+            digits_msb = pallas_exp.scalar_windows_t_msb(scalars_t)
+            ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_g2(
+                x0, x1, y0, y1, digits_msb
+            )
 
         def pack(c0, c1):
             return jnp.stack([c0.T, c1.T], axis=-2)
@@ -214,9 +223,11 @@ class JaxBackend:
         assert len(scalars) == ps.n
         target = _next_pow2(ps.n)
         padded = _pad_batch(ps.batch, ps.group, target)
-        sc = np.zeros((target, fp.NLIMBS), dtype=np.uint32)
-        for i, s in enumerate(scalars):
-            sc[i] = fp.int_to_limbs(s % R_MOD)
+        sc = fp.ints_to_limbs_batch([s % R_MOD for s in scalars])
+        if target > ps.n:
+            sc = np.vstack(
+                [sc, np.zeros((target - ps.n, fp.NLIMBS), dtype=np.uint32)]
+            )
         f = _field_ops(ps.group)
         if target >= 64:
             from . import msm as msm_mod

@@ -501,17 +501,18 @@ GLV_WINDOWS = 33  # ceil(129+pad / 4) bits of |k1|,|k2|
 
 
 def _batch_exp_glv_kernel(
-    p_ref, one_ref, beta_ref, x_ref, y_ref, d1_ref, d2_ref, neg_ref,
-    ox_ref, oy_ref, oz_ref, table_ref,
+    pprime, n_windows, p_ref, one_ref, beta_ref, x_ref, y_ref, d1_ref,
+    d2_ref, neg_ref, ox_ref, oy_ref, oz_ref, table_ref,
 ):
     """Half-length double ladder: per window add table[d1] and
     phi(table[d2]), with per-lane sign masks (neg_ref rows: 0 -> k1, 1 -> k2).
 
     Table plane 3 holds beta*X per entry (phi applied once at build time
-    instead of one mont_mul per window).
+    instead of one mont_mul per window). Limb-count generic: BN254 (16
+    limbs) and BLS12-381 (24 limbs) both instantiate it.
     """
     T = x_ref.shape[1]
-    ops = TOps(p_ref[:], lazy=True)
+    ops = TOps(p_ref[:], pprime, lazy=True)
     ones = one_ref[:]
     beta = beta_ref[:]
     zeros = jnp.zeros((x_ref.shape[0], T), U32)
@@ -560,39 +561,54 @@ def _batch_exp_glv_kernel(
         acc = ops.jac_add(acc, (e2x, e2y, e2z))
         return acc
 
-    acc = jax.lax.fori_loop(0, GLV_WINDOWS, window, (zeros, ones, zeros))
+    acc = jax.lax.fori_loop(0, n_windows, window, (zeros, ones, zeros))
     ox_ref[:] = ops.canon_out(acc[0])
     oy_ref[:] = ops.canon_out(acc[1])
     oz_ref[:] = ops.canon_out(acc[2])
 
 
-@functools.partial(jax.jit, static_argnums=(5,))
-def pallas_batch_exp_glv(x_t, y_t, d1_msb, d2_msb, negs, tile: int = 512):
-    """GLV windowed ladder. d1_msb/d2_msb: int32[33, N] 4-bit windows of
-    |k1|/|k2| (MSB first); negs: int32[2, N] sign flags."""
+@functools.partial(jax.jit, static_argnums=(5, 6))
+def pallas_batch_exp_glv(x_t, y_t, d1_msb, d2_msb, negs, tile: int = 512,
+                         fld=None):
+    """GLV windowed ladder. d1_msb/d2_msb: int32[W, N] 4-bit windows of
+    |k1|/|k2| (MSB first); negs: int32[2, N] sign flags.
+
+    `fld` = (p_limbs tuple, one_mont tuple, pprime, beta_mont tuple)
+    selects the curve; None = BN254 G1. BLS12-381 G1 passes its 24-limb
+    constants and cube root (bls12_381/device.py)."""
+    if fld is None:
+        from ..refimpl.glv import BETA
+
+        fld = (
+            tuple(_P_LIMBS),
+            tuple(_ONE_MONT),
+            _PPRIME,
+            tuple(fp.int_to_limbs(BETA * (1 << 256) % Q)),
+        )
+    p_limbs, one_mont, pprime, beta_mont = fld
+    nl = len(p_limbs)
+    nw = d1_msb.shape[0]
     n = x_t.shape[1]
     tile = min(tile, n)
     assert n % tile == 0
     grid = (n // tile,)
-    spec_const = pl.BlockSpec((NLIMBS, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    spec16 = pl.BlockSpec((NLIMBS, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    spec_dig = pl.BlockSpec((GLV_WINDOWS, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_const = pl.BlockSpec((nl, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec16 = pl.BlockSpec((nl, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_dig = pl.BlockSpec((nw, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
     spec_neg = pl.BlockSpec((2, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((NLIMBS, n), U32)] * 3
-    from ..refimpl.glv import BETA
-
-    p_col = jnp.broadcast_to(jnp.asarray(_P_LIMBS)[:, None], (NLIMBS, tile))
-    one_col = jnp.broadcast_to(jnp.asarray(_ONE_MONT)[:, None], (NLIMBS, tile))
+    out_shape = [jax.ShapeDtypeStruct((nl, n), U32)] * 3
+    p_col = jnp.broadcast_to(jnp.asarray(p_limbs, U32)[:, None], (nl, tile))
+    one_col = jnp.broadcast_to(jnp.asarray(one_mont, U32)[:, None], (nl, tile))
     beta_col = jnp.broadcast_to(
-        jnp.asarray(fp.int_to_limbs(BETA * (1 << 256) % Q))[:, None], (NLIMBS, tile)
+        jnp.asarray(beta_mont, U32)[:, None], (nl, tile)
     )
     return pl.pallas_call(
-        _batch_exp_glv_kernel,
+        functools.partial(_batch_exp_glv_kernel, pprime, nw),
         grid=grid,
         in_specs=[spec_const, spec_const, spec_const, spec16, spec16, spec_dig, spec_dig, spec_neg],
         out_specs=[spec16] * 3,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((16, 4, NLIMBS, tile), U32)],
+        scratch_shapes=[pltpu.VMEM((16, 4, nl, tile), U32)],
         interpret=jax.default_backend() == "cpu",
     )(p_col, one_col, beta_col, x_t, y_t, d1_msb, d2_msb, negs)
 
@@ -639,6 +655,177 @@ def batch_exp_transposed_glv(batch_x, batch_y, scalars: list[int], tile: int = 5
         batch_x.T, batch_y.T, jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(negs), tile
     )
     return G.JacobianBatch(ox.T, oy.T, oz.T)
+
+
+# ---------------------------------------------------------------------------
+# GLS quarter-length G2 ladder: k = k0 + k1*L + k2*L^2 + k3*L^3,
+# psi(x, y) = (conj(x)*C1, conj(y)*C2) acts as [L] on G2 (refimpl/gls.py)
+# ---------------------------------------------------------------------------
+#
+# psi powers collapse to cheap plane ops because conj . conj = id and
+# Norm(c) = c*conj(c) lands in Fq:
+#   psi^1(x,y,z) = (conj(x)*C1,      conj(y)*C2,      conj(z))
+#   psi^2(x,y,z) = (x*N1,            y*N2,            z)        N_i in Fq
+#   psi^3(x,y,z) = (conj(x)*N1*C1,   conj(y)*N2*C2,   conj(z))
+# (valid on Jacobian coords: conj is a field automorphism, so
+# x_aff = X/Z^2 conjugates coordinate-wise).
+
+GLS_WINDOWS = 17  # ceil(67+pad / 4) bits of |k_i|
+
+
+def _gls_constants():
+    from ..refimpl.gls import G2C1, G2C2
+
+    n1 = G2C1 * G2C1.conjugate()
+    n2 = G2C2 * G2C2.conjugate()
+    assert n1.c1 == 0 and n2.c1 == 0  # norms are Fq scalars
+    c31 = G2C1 * n1.c0
+    c32 = G2C2 * n2.c0
+    vals = [
+        G2C1.c0, G2C1.c1, G2C2.c0, G2C2.c1,
+        n1.c0, n2.c0, c31.c0, c31.c1, c32.c0, c32.c1,
+    ]
+    return np.stack([fp.int_to_limbs(v * (1 << 256) % Q) for v in vals])
+
+
+def _batch_exp_gls_kernel(
+    p_ref, one_ref, c_ref, x0_ref, x1_ref, y0_ref, y1_ref,
+    d0_ref, d1_ref, d2_ref, d3_ref, neg_ref,
+    ox0_ref, ox1_ref, oy0_ref, oy1_ref, oz0_ref, oz1_ref, table_ref,
+):
+    """Quarter-length quad ladder: per window add psi^i(table[d_i]) for
+    i = 0..3 with per-lane sign masks (neg_ref rows 0..3 -> k0..k3).
+
+    c_ref planes: 0,1 = C1; 2,3 = C2; 4 = N1; 5 = N2; 6,7 = N1*C1;
+    8,9 = N2*C2 (all Montgomery form)."""
+    T = x0_ref.shape[1]
+    NL = x0_ref.shape[0]
+    fops = TOps(p_ref[:], lazy=True)
+    ops = T2Ops(fops)
+    onep = one_ref[:]
+    zerop = jnp.zeros((NL, T), U32)
+    one2 = (onep, zerop)
+    zero2 = (zerop, zerop)
+    C1 = (c_ref[0], c_ref[1])
+    C2 = (c_ref[2], c_ref[3])
+    N1 = c_ref[4]
+    N2 = c_ref[5]
+    C31 = (c_ref[6], c_ref[7])
+    C32 = (c_ref[8], c_ref[9])
+
+    def store(d, P):
+        (x0, x1), (y0, y1), (z0, z1) = P
+        for c, v in enumerate((x0, x1, y0, y1, z0, z1)):
+            if isinstance(d, int):
+                table_ref[d, c] = v
+            else:
+                table_ref[d, c] = v[None]
+
+    store(0, (zero2, one2, zero2))
+    base = ((x0_ref[:], x1_ref[:]), (y0_ref[:], y1_ref[:]), one2)
+    store(1, base)
+
+    def build(d, prev):
+        nxt = jac_add(ops, prev, base)
+        store(pl.ds(d, 1), nxt)
+        return nxt
+
+    jax.lax.fori_loop(2, 16, build, base)
+
+    def conj2(a):
+        return (a[0], fops.sub(zerop, a[1]))
+
+    def psi_apply(i, x, y, z):
+        if i == 0:
+            return x, y, z
+        if i == 1:
+            return ops.mul(conj2(x), C1), ops.mul(conj2(y), C2), conj2(z)
+        if i == 2:
+            return (
+                (fops.mont_mul(x[0], N1), fops.mont_mul(x[1], N1)),
+                (fops.mont_mul(y[0], N2), fops.mont_mul(y[1], N2)),
+                z,
+            )
+        return ops.mul(conj2(x), C31), ops.mul(conj2(y), C32), conj2(z)
+
+    digs = (d0_ref, d1_ref, d2_ref, d3_ref)
+
+    def window(w, acc):
+        acc = jac_double(ops, acc)
+        acc = jac_double(ops, acc)
+        acc = jac_double(ops, acc)
+        acc = jac_double(ops, acc)
+        for i in range(4):
+            d = digs[i][pl.ds(w, 1), :]
+            ex, ey, ez = zero2, one2, zero2
+            for k in range(1, 16):
+                m = d == k
+                ex = ops.sel(m, (table_ref[k, 0], table_ref[k, 1]), ex)
+                ey = ops.sel(m, (table_ref[k, 2], table_ref[k, 3]), ey)
+                ez = ops.sel(m, (table_ref[k, 4], table_ref[k, 5]), ez)
+            ex, ey, ez = psi_apply(i, ex, ey, ez)
+            ng = neg_ref[i : i + 1, :] != 0
+            ey = ops.sel(ng, (fops.sub(zerop, ey[0]), fops.sub(zerop, ey[1])), ey)
+            acc = jac_add(ops, acc, (ex, ey, ez))
+        return acc
+
+    acc = jax.lax.fori_loop(0, GLS_WINDOWS, window, (zero2, one2, zero2))
+    (ox0_ref[:], ox1_ref[:]) = ops.canon_out(acc[0])
+    (oy0_ref[:], oy1_ref[:]) = ops.canon_out(acc[1])
+    (oz0_ref[:], oz1_ref[:]) = ops.canon_out(acc[2])
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def pallas_batch_exp_gls(x0, x1, y0, y1, digits, negs, tile: int = 128):
+    """GLS quad ladder over transposed Fq2 planes uint32[16, N].
+
+    digits: int32[4, 17, N] 4-bit windows of |k_i| (MSB first);
+    negs: int32[4, N] sign flags. BN254-only (the psi constants)."""
+    n = x0.shape[1]
+    tile = min(tile, n)
+    assert n % tile == 0
+    grid = (n // tile,)
+    spec_const = pl.BlockSpec((NLIMBS, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec_c10 = pl.BlockSpec((10, NLIMBS, tile), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    spec16 = pl.BlockSpec((NLIMBS, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_dig = pl.BlockSpec((GLS_WINDOWS, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_neg = pl.BlockSpec((4, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((NLIMBS, n), U32)] * 6
+    p_col = jnp.broadcast_to(jnp.asarray(_P_LIMBS)[:, None], (NLIMBS, tile))
+    one_col = jnp.broadcast_to(jnp.asarray(_ONE_MONT)[:, None], (NLIMBS, tile))
+    c_cols = jnp.broadcast_to(
+        jnp.asarray(_gls_constants())[:, :, None], (10, NLIMBS, tile)
+    )
+    return pl.pallas_call(
+        _batch_exp_gls_kernel,
+        grid=grid,
+        in_specs=[spec_const, spec_const, spec_c10, spec16, spec16, spec16, spec16,
+                  spec_dig, spec_dig, spec_dig, spec_dig, spec_neg],
+        out_specs=[spec16] * 6,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((16, 6, NLIMBS, tile), U32)],
+        interpret=jax.default_backend() == "cpu",
+    )(p_col, one_col, c_cols, x0, x1, y0, y1,
+      digits[0], digits[1], digits[2], digits[3], negs)
+
+
+def batch_exp_transposed_gls(batch_x, batch_y, scalars: list[int], tile: int = 128):
+    """AffineBatch Fq2 coord arrays ((N,2,16) layout) + scalar ints ->
+    JacobianBatch via the GLS quad ladder (host decomposition)."""
+    from ..curve import group as G
+    from . import gls_device
+
+    digits, negs = gls_device.gls_digit_arrays(scalars)
+    x0, x1 = batch_x[:, 0].T, batch_x[:, 1].T
+    y0, y1 = batch_y[:, 0].T, batch_y[:, 1].T
+    ox0, ox1, oy0, oy1, oz0, oz1 = pallas_batch_exp_gls(
+        x0, x1, y0, y1, jnp.asarray(digits), jnp.asarray(negs), tile
+    )
+
+    def pack(c0, c1):
+        return jnp.stack([c0.T, c1.T], axis=-2)
+
+    return G.JacobianBatch(pack(ox0, ox1), pack(oy0, oy1), pack(oz0, oz1))
 
 
 # ---------------------------------------------------------------------------

@@ -63,8 +63,8 @@ def _pow_mul_local_pallas(f, log2n_local: int, batch, tau_start_local, tau_pows,
 
     Same math as _pow_mul_local; scalar glue runs in the transposed (16, N)
     layout and the scalar-mul in the Mosaic kernels (GLV double ladder for
-    G1, windowed ladder for G2)."""
-    from ..ops import glv_device, pallas_exp
+    G1, GLS quad ladder for G2)."""
+    from ..ops import glv_device, gls_device, pallas_exp
 
     tau_pows_t = [tau_pows[j] for j in range(log2n_local)]
     scalars_t = pallas_exp.tau_powers_t(tau_start_local, tau_pows_t, coeff, log2n_local)
@@ -73,12 +73,20 @@ def _pow_mul_local_pallas(f, log2n_local: int, batch, tau_start_local, tau_pows,
         ox, oy, oz = pallas_exp.pallas_batch_exp_glv(batch.x.T, batch.y.T, d1, d2, negs)
         jac = G.JacobianBatch(ox.T, oy.T, oz.T)
     else:
-        digits_msb = pallas_exp.scalar_windows_t_msb(scalars_t)
+        import os
+
         x0, x1 = batch.x[:, 0].T, batch.x[:, 1].T
         y0, y1 = batch.y[:, 0].T, batch.y[:, 1].T
-        ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_g2(
-            x0, x1, y0, y1, digits_msb
-        )
+        if os.environ.get("PHASE2_TPU_GLS"):
+            digits, negs = gls_device.decompose_device_t(scalars_t)
+            ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_gls(
+                x0, x1, y0, y1, digits, negs
+            )
+        else:
+            digits_msb = pallas_exp.scalar_windows_t_msb(scalars_t)
+            ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_g2(
+                x0, x1, y0, y1, digits_msb
+            )
 
         def pack(c0, c1):
             return jnp.stack([c0.T, c1.T], axis=-2)
