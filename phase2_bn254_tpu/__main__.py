@@ -34,6 +34,7 @@ def main():
         "export_keys": p2cli.main_export_keys,
         "copy_json": p2cli.main_copy_json,
         "generate_verifier": p2cli.main_generate_verifier,
+        "snarkjs_verify": p2cli.main_snarkjs_verify,
     }
     if len(sys.argv) < 2 or sys.argv[1] not in tools:
         print("Usage: python -m phase2_bn254_tpu <tool> [args...]")

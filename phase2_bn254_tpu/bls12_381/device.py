@@ -171,3 +171,54 @@ def pallas_batch_mul(points: list[host.Point], scalars: list[int], grp: str) -> 
         jac = group.JacobianBatch(pack(ox0, ox1), pack(oy0, oy1), pack(oz0, oz1))
     out = jax.jit(lambda j: group.jac_normalize(f, j))(jac)
     return batch_to_points(jax.tree.map(np.asarray, out), grp)
+
+
+# ---------------------------------------------------------------------------
+# GLV path: cube-root endomorphism halves the ladder length (glv.py)
+# ---------------------------------------------------------------------------
+
+def _glv_plan():
+    from ..ops.glv_device import GlvPlan
+    from . import glv
+
+    return GlvPlan(R_MOD, glv._A1, glv._B1, glv._A2, glv._B2, windows=33)
+
+
+_GLV_PLAN = None
+
+
+def decompose_glv_t(scalars_t):
+    """uint32[17, N] canonical transposed Fr scalars -> GLV digit arrays
+    (d1_msb, d2_msb int32[33, N]; negs int32[2, N]) on device."""
+    global _GLV_PLAN
+    from ..ops.glv_device import decompose_plan_t
+
+    if _GLV_PLAN is None:
+        _GLV_PLAN = _glv_plan()
+    return decompose_plan_t(scalars_t, _GLV_PLAN)
+
+
+def _glv_fld():
+    from . import glv
+
+    return _BLS_FLD + (
+        tuple(int(v) for v in fp.int_to_limbs(glv.BETA * (1 << 384) % Q, 24)),
+    )
+
+
+def pallas_batch_mul_glv(points: list[host.Point], scalars: list[int]) -> list[host.Point]:
+    """Fused Mosaic GLV double ladder for BLS12-381 G1: 33 windows instead
+    of 68 (~1.9x fewer doublings than pallas_batch_mul). Bit-exact with
+    host `Point.mul`."""
+    from ..ops import pallas_exp
+
+    f = _field_ops("g1")
+    batch = points_to_batch(points, "g1")
+    sc_t = scalars_to_canon(scalars).T
+    d1, d2, negs = decompose_glv_t(sc_t)
+    ox, oy, oz = pallas_exp.pallas_batch_exp_glv(
+        batch.x.T, batch.y.T, d1, d2, negs, 512, _glv_fld()
+    )
+    jac = group.JacobianBatch(ox.T, oy.T, oz.T)
+    out = jax.jit(lambda j: group.jac_normalize(f, j))(jac)
+    return batch_to_points(jax.tree.map(np.asarray, out), "g1")

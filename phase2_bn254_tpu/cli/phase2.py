@@ -178,3 +178,26 @@ def _default_backend():
     from .phase1 import _default_backend as _phase1_default
 
     return _phase1_default()
+
+
+def main_snarkjs_verify(argv=None):
+    """`npx snarkjs verify --vk vk.json --proof proof.json` analog
+    (phase2/test.sh:44) - consumes only the exported JSON files."""
+    ap = argparse.ArgumentParser(prog="phase2-snarkjs-verify")
+    ap.add_argument("vk_json")
+    ap.add_argument("proof_json")
+    ap.add_argument("public_json")
+    a = ap.parse_args(argv)
+    from ..phase2.circom import snarkjs_verify
+
+    with open(a.vk_json) as f:
+        vk = f.read()
+    with open(a.proof_json) as f:
+        proof = f.read()
+    with open(a.public_json) as f:
+        public = f.read()
+    if snarkjs_verify(vk, proof, public):
+        print("OK")
+        return 0
+    print("INVALID")
+    raise SystemExit(1)

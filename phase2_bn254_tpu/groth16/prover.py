@@ -52,10 +52,13 @@ def _h_coefficients(prover: ProvingAssignment) -> list[int]:
         raise SynthesisError("polynomial degree too large")
 
     def arr(vals):
-        out = np.zeros((m, fp.NLIMBS), dtype=np.uint32)
-        for i, v in enumerate(vals):
-            out[i] = fp.int_to_limbs(ntt.CTX_R.to_mont_int(v))
-        return jnp.asarray(out)
+        limbs = fp.ints_to_limbs_batch(vals)
+        if len(vals) < m:
+            limbs = np.vstack(
+                [limbs, np.zeros((m - len(vals), fp.NLIMBS), dtype=np.uint32)]
+            )
+        # canonical -> Montgomery on device (one fused mont_mul by R^2)
+        return fp.to_mont(ntt.CTX_R, jnp.asarray(limbs))
 
     a = arr(prover.a)
     b = arr(prover.b)
@@ -68,8 +71,7 @@ def _h_coefficients(prover: ProvingAssignment) -> list[int]:
     ab = ntt.divide_by_z_on_coset(exp, ab)
     h = ntt.icoset_ntt(exp, ab)
     h_can = np.asarray(fp.from_mont(ntt.CTX_R, h))
-    vals = [fp.limbs_to_int(h_can[i]) for i in range(m - 1)]  # truncate last
-    return vals
+    return fp.limbs_to_ints_batch(h_can[: m - 1])  # truncate last
 
 
 def _msm(bases: list[rc.Point], scalars: list[int], backend=None) -> rc.Point:

@@ -50,11 +50,11 @@ def _ndigits(v: int) -> int:
     return max(1, (abs(v).bit_length() + DIG - 1) // DIG)
 
 
-# Barrett reciprocals: Mi = round(|bi'| * 2^(16*TDIG) / r)
-def _barrett(mag: int) -> int:
+# Barrett reciprocals: Mi = round(|bi'| * 2^(16*TDIG) / modulus)
+def _barrett(mag: int, modulus: int = R_MOD) -> int:
     num = mag << (DIG * TDIG)
-    q, rem = divmod(num, R_MOD)
-    if 2 * rem >= R_MOD:
+    q, rem = divmod(num, modulus)
+    if 2 * rem >= modulus:
         q += 1
     return q
 
@@ -308,32 +308,70 @@ def _apply_signed_t(acc: jnp.ndarray, term: jnp.ndarray, sign: int) -> jnp.ndarr
     return _sub_digits_t(acc, term) if sign > 0 else _add_digits_t(acc, term)
 
 
-@jax.jit
-def decompose_device_t(scalars_t: jnp.ndarray):
-    """uint32[16, N] canonical transposed scalars -> (d1_msb int32[33,N],
-    d2_msb int32[33,N], negs int32[2,N]) - the production layout."""
+class GlvPlan:
+    """Per-curve Barrett decomposition constants for the transposed device
+    path; built once from (r, short basis). Hashable/static for jit."""
+
+    def __init__(self, r_mod: int, a1: int, b1: int, a2: int, b2: int,
+                 windows: int = 33):
+        det = a1 * b2 - a2 * b1
+        assert abs(det) == r_mod
+        sd = 1 if det > 0 else -1
+        self.key = (r_mod, a1, b1, a2, b2, windows)
+        self.windows = windows
+        m1 = _barrett(abs(b2), r_mod)
+        m2 = _barrett(abs(b1), r_mod)
+        self.m1_d = _digits(m1, _ndigits(m1))
+        self.m2_d = _digits(m2, _ndigits(m2))
+        self.s1 = (1 if b2 > 0 else -1) * sd
+        self.s2 = -(1 if b1 > 0 else -1) * sd
+        self.a1_d = _digits(abs(a1), _ndigits(a1))
+        self.a2_d = _digits(abs(a2), _ndigits(a2))
+        self.b1_d = _digits(abs(b1), _ndigits(b1))
+        self.b2_d = _digits(abs(b2), _ndigits(b2))
+        self.sa1 = 1 if a1 > 0 else -1
+        self.sa2 = 1 if a2 > 0 else -1
+        self.sb1 = 1 if b1 > 0 else -1
+        self.sb2 = 1 if b2 > 0 else -1
+
+    def __hash__(self):
+        return hash(self.key)
+
+    def __eq__(self, other):
+        return isinstance(other, GlvPlan) and other.key == self.key
+
+
+BN_PLAN = GlvPlan(R_MOD, _A1, _B1, _A2, _B2)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def decompose_plan_t(scalars_t: jnp.ndarray, plan: GlvPlan = BN_PLAN):
+    """uint32[nlimbs, N] canonical transposed scalars -> (d1_msb
+    int32[W,N], d2_msb int32[W,N], negs int32[2,N]) - the production
+    layout; `plan` selects the curve (BN254 default, BLS12-381 via
+    bls12_381.device)."""
     k = scalars_t
     T_bits = DIG * TDIG
-    c1 = _mul_digits_t(k, _M1_D, KDIG + TDIG, round_bit=T_bits - 1)[TDIG:]
-    c2 = _mul_digits_t(k, _M2_D, KDIG + TDIG, round_bit=T_bits - 1)[TDIG:]
+    c1 = _mul_digits_t(k, plan.m1_d, KDIG + TDIG, round_bit=T_bits - 1)[TDIG:]
+    c2 = _mul_digits_t(k, plan.m2_d, KDIG + TDIG, round_bit=T_bits - 1)[TDIG:]
 
     k_low = k[:KDIG] if k.shape[0] >= KDIG else _carry_t(k, KDIG)
-    t1 = _mul_digits_t(c1, _A1_D, KDIG)
-    t2 = _mul_digits_t(c2, _A2_D, KDIG)
-    k1 = _apply_signed_t(k_low, t1, _S1 * _SA1)
-    k1 = _apply_signed_t(k1, t2, _S2 * _SA2)
-    u1 = _mul_digits_t(c1, _B1_D, KDIG)
-    u2 = _mul_digits_t(c2, _B2_D, KDIG)
+    t1 = _mul_digits_t(c1, plan.a1_d, KDIG)
+    t2 = _mul_digits_t(c2, plan.a2_d, KDIG)
+    k1 = _apply_signed_t(k_low, t1, plan.s1 * plan.sa1)
+    k1 = _apply_signed_t(k1, t2, plan.s2 * plan.sa2)
+    u1 = _mul_digits_t(c1, plan.b1_d, KDIG)
+    u2 = _mul_digits_t(c2, plan.b2_d, KDIG)
     zero = jnp.zeros_like(k_low)
-    k2 = _apply_signed_t(zero, u1, _S1 * _SB1)
-    k2 = _apply_signed_t(k2, u2, _S2 * _SB2)
+    k2 = _apply_signed_t(zero, u1, plan.s1 * plan.sb1)
+    k2 = _apply_signed_t(k2, u2, plan.s2 * plan.sb2)
 
     k1_mag, k1_neg = _twos_complement_abs_t(k1)
     k2_mag, k2_neg = _twos_complement_abs_t(k2)
 
     def windows(mag):
         outs = []
-        for w in range(33):
+        for w in range(plan.windows):
             d, s = divmod(4 * w, DIG)
             outs.append(((mag[d : d + 1] >> s) & 0xF).astype(jnp.int32))
         return jnp.concatenate(outs[::-1], axis=0)
@@ -342,3 +380,8 @@ def decompose_device_t(scalars_t: jnp.ndarray):
         [k1_neg.astype(jnp.int32), k2_neg.astype(jnp.int32)], axis=0
     )
     return windows(k1_mag), windows(k2_mag), negs
+
+
+def decompose_device_t(scalars_t: jnp.ndarray):
+    """BN254 production entry point (see decompose_plan_t)."""
+    return decompose_plan_t(scalars_t, BN_PLAN)

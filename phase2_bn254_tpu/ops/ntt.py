@@ -49,26 +49,24 @@ class Domain:
 
     @functools.lru_cache(maxsize=None)
     def twiddles(self, inverse: bool) -> np.ndarray:
-        """omega^j (Montgomery limbs) for j in [0, m/2)."""
-        w = self.omegainv if inverse else self.omega
-        half = max(self.m // 2, 1)
-        out = np.empty((half, fp.NLIMBS), dtype=np.uint32)
-        acc = 1
-        for j in range(half):
-            out[j] = fp.int_to_limbs(CTX_R.to_mont_int(acc))
-            acc = (acc * w) % R_MOD
-        return out
+        """omega^j (Montgomery limbs) for j in [0, m/2), built on device by
+        log-doubling (no O(m) host loop - at 2^26 that was ~10^8 Python
+        iterations before any compute)."""
+        # ensure_compile_time_eval: twiddles() is usually hit during an
+        # outer ntt trace; the table must evaluate eagerly so lru_cache
+        # stores concrete host bytes, not a tracer
+        with jax.ensure_compile_time_eval():
+            table = _power_table(
+                self.omegainv if inverse else self.omega, max(self.exp - 1, 0)
+            )
+        return np.asarray(table)
 
     @functools.lru_cache(maxsize=None)
     def twiddles_canonical(self, inverse: bool) -> np.ndarray:
-        w = self.omegainv if inverse else self.omega
-        half = max(self.m // 2, 1)
-        out = np.empty((half, fp.NLIMBS), dtype=np.uint32)
-        acc = 1
-        for j in range(half):
-            out[j] = fp.int_to_limbs(acc)
-            acc = (acc * w) % R_MOD
-        return out
+        mont = self.twiddles(inverse)
+        import jax.numpy as jnp
+
+        return np.asarray(fp.from_mont(CTX_R, jnp.asarray(mont)))
 
     @functools.lru_cache(maxsize=None)
     def bitrev(self) -> np.ndarray:
@@ -255,16 +253,19 @@ def _jac_scalar_mul(f, pts: G.JacobianBatch, scalars_canon: jnp.ndarray) -> G.Ja
 
 # -- scalar-domain utility ops (pointwise; prover uses these) ---------------
 
+def _power_table(g: int, log2n: int) -> jnp.ndarray:
+    """[g^0 .. g^(2^log2n - 1)] Montgomery limbs uint32[2^log2n, 16], built
+    on device by log-doubling."""
+    from .pallas_ntt import _geom_powers_t
+
+    ratio = jnp.asarray(fp.int_to_limbs(CTX_R.to_mont_int(g)))
+    return jnp.moveaxis(_geom_powers_t(ratio, log2n), 0, -1)
+
+
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def distribute_powers(exp: int, coeffs: jnp.ndarray, g: int) -> jnp.ndarray:
     """coeffs[i] *= g^i (domain.rs:176-189); g is host-known."""
-    d = Domain(exp)
-    pows = np.empty((d.m, fp.NLIMBS), dtype=np.uint32)
-    acc = 1
-    for i in range(d.m):
-        pows[i] = fp.int_to_limbs(CTX_R.to_mont_int(acc))
-        acc = (acc * g) % R_MOD
-    return fp.mont_mul(CTX_R, coeffs, jnp.asarray(pows))
+    return fp.mont_mul(CTX_R, coeffs, _power_table(g, exp))
 
 
 def coset_ntt(exp: int, coeffs: jnp.ndarray) -> jnp.ndarray:

@@ -170,3 +170,88 @@ def filter_params(params: Parameters) -> Parameters:
     params.b_g1 = [x for x in params.b_g1 if not x.is_zero()]
     params.b_g2 = [x for x in params.b_g2 if not x.is_zero()]
     return params
+
+
+# ---------------------------------------------------------------------------
+# snarkjs-semantics verifier (the `npx snarkjs verify` step of
+# /root/reference/phase2/test.sh:44, reimplemented so the external
+# cross-check runs without npm: consumes ONLY the exported JSON files,
+# including the serialized vk_alfabeta_12, never the in-memory Parameters)
+# ---------------------------------------------------------------------------
+
+def _p1_from_vec(v) -> rc.Point:
+    if v[2] == "0":
+        return rc.point_zero("g1")
+    assert v[2] == "1", "non-normalized projective G1 in JSON"
+    p = rc.Point(int(v[0]), int(v[1]), False, "g1")
+    if not p.is_on_curve():
+        raise ValueError("G1 point not on curve")
+    return p
+
+
+def _p2_from_vec(v) -> rc.Point:
+    from ..refimpl.field import Fq2
+
+    if v[2] == ["0", "0"]:
+        return rc.point_zero("g2")
+    assert v[2] == ["1", "0"], "non-normalized projective G2 in JSON"
+    p = rc.Point(
+        Fq2(int(v[0][0]), int(v[0][1])),
+        Fq2(int(v[1][0]), int(v[1][1])),
+        False,
+        "g2",
+    )
+    if not p.is_on_curve():
+        raise ValueError("G2 point not on curve")
+    return p
+
+
+def _fq12_from_vec(v):
+    """Inverse of pairing_to_vec: nested decimal strings -> w-basis Fq12."""
+    from ..refimpl.field import FQ2_ZERO, Fq2
+
+    flat = [
+        (int(v[i][j][0]), int(v[i][j][1])) for i in range(2) for j in range(3)
+    ]
+    # tower order c0.c0, c0.c1, c0.c2, c1.c0, c1.c1, c1.c2 -> w powers
+    # 0, 2, 4, 1, 3, 5 (fq12_to_tower_coeffs inverse)
+    out = [FQ2_ZERO] * 6
+    for k, w_index in enumerate([0, 2, 4, 1, 3, 5]):
+        out[w_index] = Fq2(*flat[k])
+    return tuple(out)
+
+
+def snarkjs_verify(vk_json: str, proof_json: str, public_json: str) -> bool:
+    """Groth16 verification exactly as snarkjs' legacy `groth` protocol:
+    e(pi_a, pi_b) == vk_alfabeta_12 * e(IC(publics), vk_gamma_2)
+                     * e(pi_c, vk_delta_2),
+    with vk_alfabeta_12 taken from the serialized key (this cross-checks
+    the Fq12 tower serialization, not just the points)."""
+    from ..refimpl.pairing import FQ12_ONE, fq12_mul, pairing
+
+    vk = json.loads(vk_json)
+    proof = json.loads(proof_json)
+    publics = [int(x) for x in json.loads(public_json)]
+
+    if vk.get("protocol", "groth") != "groth" or proof.get("protocol") != "groth":
+        return False
+    if len(publics) != vk["inputs_count"]:
+        return False
+
+    ic = [_p1_from_vec(v) for v in vk["ic"]]
+    gamma_2 = _p2_from_vec(vk["vk_gamma_2"])
+    delta_2 = _p2_from_vec(vk["vk_delta_2"])
+    alfabeta_12 = _fq12_from_vec(vk["vk_alfabeta_12"])
+    pi_a = _p1_from_vec(proof["pi_a"])
+    pi_b = _p2_from_vec(proof["pi_b"])
+    pi_c = _p1_from_vec(proof["pi_c"])
+
+    cpub = ic[0]
+    for value, base in zip(publics, ic[1:]):
+        cpub = cpub.add(base.mul(value % R_MOD))
+
+    lhs = pairing(pi_a, pi_b)
+    rhs = fq12_mul(
+        fq12_mul(alfabeta_12, pairing(cpub, gamma_2)), pairing(pi_c, delta_2)
+    )
+    return lhs == rhs

@@ -23,12 +23,13 @@ assert (LAMBDA * LAMBDA + LAMBDA + 1) % R_MOD == 0
 assert (BETA * BETA + BETA + 1) % Q == 0
 
 
-def _derive_basis():
-    """Short lattice basis for {(x, y): x + y*LAMBDA = 0 mod r} via the
-    half-extended Euclid (GLV01, Algorithm 3.74 in Guide to ECC)."""
-    r0, r1 = R_MOD, LAMBDA
+def derive_basis(r_mod: int, lam: int):
+    """Short lattice basis for {(x, y): x + y*lam = 0 mod r_mod} via the
+    half-extended Euclid (GLV01, Algorithm 3.74 in Guide to ECC). Shared
+    with the BLS12-381 engine (bls12_381/glv.py)."""
+    r0, r1 = r_mod, lam
     t0, t1 = 0, 1
-    lim = math.isqrt(R_MOD)
+    lim = math.isqrt(r_mod)
     seq = [(r0, t0), (r1, t1)]
     while r1 != 0:
         q = r0 // r1
@@ -46,7 +47,7 @@ def _derive_basis():
     raise AssertionError("no short vector found")
 
 
-(_A1, _B1), (_A2, _B2) = _derive_basis()
+(_A1, _B1), (_A2, _B2) = derive_basis(R_MOD, LAMBDA)
 _DET = _A1 * _B2 - _A2 * _B1
 assert abs(_DET) == R_MOD, _DET
 

@@ -34,5 +34,6 @@ run export_keys circom4.params vk.json pk.json
 run generate_verifier circom4.params verifier.sol
 
 run prove circuit.json witness.json circom4.params proof.json public.json
+run snarkjs_verify vk.json proof.json public.json
 python "$REPO"/scripts/vk2ethsnarks.py vk.json ethsnarks_vk.json
 echo "PHASE2 E2E OK ($WORK)"

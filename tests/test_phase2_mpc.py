@@ -102,6 +102,22 @@ def test_phase2_mpc_end_to_end(radix_dir, tmp_path):
     assert set(vk) >= {"ic", "vk_alfabeta_12", "inputs_count", "protocol"}
     assert pj["protocol"] == "groth"
 
+    # snarkjs-semantics verify from the serialized JSONs alone (the
+    # `npx snarkjs verify` step of phase2/test.sh:44, npm-free)
+    from phase2_bn254_tpu.phase2.circom import snarkjs_verify
+
+    vk_json = verification_key_json(params)
+    proof_json = proof_to_json(proof)
+    publics = witness_circuit.get_public_inputs()
+    public_json = json.dumps([str(v) for v in publics])
+    assert snarkjs_verify(vk_json, proof_json, public_json)
+    assert not snarkjs_verify(vk_json, proof_json, json.dumps(["7"]))
+    # corrupted serialized alfabeta_12 must be caught (the pairing check
+    # consumes the serialized value, not a recomputation)
+    bad_vk = json.loads(vk_json)
+    bad_vk["vk_alfabeta_12"][0][0][0] = "12345"
+    assert not snarkjs_verify(json.dumps(bad_vk), proof_json, public_json)
+
 
 def test_device_qap_eval_matches_host(radix_dir):
     """Segmented-MSM QAP evaluation (ops/segsum.py) vs the host point loop:

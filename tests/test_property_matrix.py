@@ -178,3 +178,92 @@ def test_engine_bilinearity(name, curve_m, pairing_m, order):
         (curve_m.G1_GEN, curve_m.G1_GEN.mul(a)),
         (curve_m.G2_GEN, curve_m.G2_GEN.mul(a)),
     )
+
+
+# ---------------------------------------------------------------------------
+# expanded generics (tests/field.rs:56-120, curve.rs:120-345, engine.rs:5-55)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name,sample,one", FIELD_CASES, ids=[c[0] for c in FIELD_CASES])
+def test_field_expansion_and_inversion(name, sample, one):
+    """random_expansion_tests + random_inversion_tests
+    (tests/field.rs:56-66, 120-180): (a+b)(c+d) distributes; a * a^-1 = 1."""
+    rng = random.Random(7)
+    for _ in range(N_SAMPLES):
+        a, b, c, d = (sample(rng) for _ in range(4))
+        lhs = (a + b) * (c + d)
+        rhs = a * c + a * d + b * c + b * d
+        assert lhs == rhs
+        if not a.is_zero():
+            assert a * a.inverse() == one
+        # squaring == self-multiplication; sub inverts add
+        assert a.square() == a * a
+        assert a + b - b == a
+
+
+CURVE_CASES = [
+    ("bn254-g1", bn_curve.G1_GEN, bn_field.R_MOD),
+    ("bn254-g2", bn_curve.G2_GEN, bn_field.R_MOD),
+    ("bls-g1", bls_curve.G1_GEN, bls_field.R_MOD),
+    ("bls-g2", bls_curve.G2_GEN, bls_field.R_MOD),
+]
+
+
+@pytest.mark.parametrize("name,gen,order", CURVE_CASES, ids=[c[0] for c in CURVE_CASES])
+def test_curve_distributivity_associativity(name, gen, order):
+    """random_addition_tests + random_multiplication_tests
+    (tests/curve.rs:118-230): (a+b)+c = a+(b+c); (s1+s2)P = s1 P + s2 P;
+    s(A+B) = sA + sB; doubling edge cases."""
+    rng = random.Random(13)
+    for _ in range(3):
+        a = gen.mul(rng.randrange(1, order))
+        b = gen.mul(rng.randrange(1, order))
+        c = gen.mul(rng.randrange(1, order))
+        assert a.add(b).add(c) == a.add(b.add(c))
+        assert a.add(b) == b.add(a)
+        s1, s2 = rng.randrange(order), rng.randrange(order)
+        assert a.mul((s1 + s2) % order) == a.mul(s1).add(a.mul(s2))
+        assert a.add(b).mul(s1) == a.mul(s1).add(b.mul(s1))
+        # a + a == double(a); a - a == 0
+        assert a.add(a) == a.double()
+        assert a.add(a.neg()).is_zero()
+
+
+@pytest.mark.parametrize("name,curve_m,pairing_m, order", ENGINE_CASES, ids=[c[0] for c in ENGINE_CASES])
+def test_engine_miller_loop_identities(name, curve_m, pairing_m, order):
+    """engine_tests (tests/engine.rs:5-55): infinity pairs reduce to one,
+    and the reduced pairing of a product of Miller loops is the product of
+    reduced pairings."""
+    rng = random.Random(17)
+    zero1 = curve_m.point_zero("g1")
+    a = curve_m.G1_GEN.mul(rng.randrange(1, order))
+    b = curve_m.G2_GEN.mul(rng.randrange(1, order))
+    c = curve_m.G1_GEN.mul(rng.randrange(1, order))
+    d = curve_m.G2_GEN.mul(rng.randrange(1, order))
+
+    assert pairing_m.pairing(zero1, b) == pairing_m.pairing(a, curve_m.point_zero("g2"))
+
+    if name == "bn254":
+        ml = pairing_m.miller_loop_ate
+        fe = pairing_m.final_exponentiation
+        mul = pairing_m.fq12_mul
+    else:
+        ml = pairing_m.miller_loop
+        fe = pairing_m.final_exponentiation
+        mul = lambda x, y: x * y
+    prod = fe(mul(ml(a, b), ml(c, d)))
+    assert prod == mul(pairing_m.pairing(a, b), pairing_m.pairing(c, d))
+
+
+def test_wnaf_window_sweep():
+    """random_wnaf_tests window sweep (tests/curve.rs:68-93): every window
+    width w in [2, 8) agrees with plain multiplication, both groups."""
+    rng = random.Random(23)
+    for gen in (bn_curve.G1_GEN, bn_curve.G2_GEN):
+        base = gen.mul(rng.randrange(1, bn_field.R_MOD))
+        k = rng.randrange(1, bn_field.R_MOD)
+        expect = base.mul(k)
+        for w in range(2, 8):
+            table = bn_wnaf.wnaf_table(base, w)
+            form = bn_wnaf.wnaf_form(k, w)
+            assert bn_wnaf.wnaf_exp(table, form) == expect
