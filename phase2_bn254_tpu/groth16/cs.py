@@ -77,8 +77,11 @@ class LinearCombination:
 
 
 class ConstraintSystem:
-    """Base interface (alloc/alloc_input/enforce); namespaces are no-ops in
-    this framework (the reference only uses them for error paths)."""
+    """Base interface (alloc/alloc_input/enforce).
+
+    `namespace(name)` is the RAII `Namespace` analog (cs.rs:255-332): a
+    context manager maintaining a path stack used in error reporting; the
+    assemblies themselves ignore names, exactly as the reference's do."""
 
     def alloc(self, annotation=None, f: Optional[Callable[[], int]] = None) -> Variable:
         raise NotImplementedError
@@ -88,6 +91,33 @@ class ConstraintSystem:
 
     def enforce(self, annotation, a: LinearCombination, b: LinearCombination, c: LinearCombination):
         raise NotImplementedError
+
+    def namespace(self, name: str):
+        from contextlib import contextmanager
+
+        @contextmanager
+        def ns():
+            stack = getattr(self, "_ns_path", None)
+            if stack is None:
+                stack = []
+                self._ns_path = stack
+            stack.append(str(name))
+            try:
+                yield self
+            except SynthesisError as e:
+                if not getattr(e, "_ns_annotated", False):
+                    e._ns_annotated = True
+                    e.args = (f"{'/'.join(stack)}: {e}",) + e.args[1:]
+                raise
+            finally:
+                stack.pop()
+
+        return ns()
+
+    @property
+    def path(self) -> str:
+        """Current namespace path (for diagnostics)."""
+        return "/".join(getattr(self, "_ns_path", []))
 
 
 class KeypairAssembly(ConstraintSystem):

@@ -135,3 +135,30 @@ def test_mimc_integration():
     proof = create_random_proof(circ, params, rng)
     assert verify_proof(pvk, proof, [image])
     assert not verify_proof(pvk, proof, [(image + 1) % R_MOD])
+
+
+def test_namespace_raii():
+    """cs.rs:255-332 Namespace analog: path stack + error annotation."""
+    from phase2_bn254_tpu.groth16.cs import (
+        AssignmentMissing,
+        LinearCombination,
+        ProvingAssignment,
+    )
+
+    cs = ProvingAssignment()
+    cs.alloc_input(None, lambda: 1)  # the ONE input
+    with cs.namespace("outer"):
+        with cs.namespace("inner"):
+            assert cs.path == "outer/inner"
+            v = cs.alloc(None, lambda: 3)
+            cs.enforce(None, LinearCombination() + v, LinearCombination() + v,
+                       LinearCombination() + (9, XOR_ONE))
+        assert cs.path == "outer"
+    assert cs.path == ""
+
+    import pytest as _pytest
+
+    with _pytest.raises(AssignmentMissing, match="outer/fail"):
+        with cs.namespace("outer"):
+            with cs.namespace("fail"):
+                cs.alloc(None, None)
