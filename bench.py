@@ -17,10 +17,46 @@ import time
 BASELINE_G1_MULS_PER_S = 5.0e4
 
 
+def _device_watchdog(timeout_s: float = 300.0) -> bool:
+    """True if the device answers a trivial computation within timeout.
+
+    The remote axon TPU tunnel can wedge (every op then hangs forever);
+    without this guard a wedged tunnel would hang the whole bench run."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax.numpy as jnp
+        import numpy as np
+
+        np.asarray(jnp.ones((8, 8)) * 2)
+        ok.append(True)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    if not _device_watchdog():
+        print(
+            json.dumps(
+                {
+                    "metric": "bn254_g1_batch_exp_points_per_s",
+                    "value": 0,
+                    "unit": "points/s/chip",
+                    "vs_baseline": 0,
+                    "error": "device unreachable (axon tunnel wedged; probe timed out)",
+                }
+            )
+        )
+        return
 
     from phase2_bn254_tpu.field import fp
     from phase2_bn254_tpu.ops.backend import (
