@@ -307,8 +307,12 @@ from .helped import (  # noqa: E402
     SxyAdvice,
     VerifyingKey,
     generate_parameters,
+    generate_parameters_on_srs,
+    generate_parameters_on_srs_and_information,
+    generate_random_parameters,
     generate_srs,
     get_circuit_parameters,
+    get_circuit_parameters_for_succinct_sonic,
 )
 from .prover import (  # noqa: E402
     create_advice,

@@ -261,12 +261,73 @@ def get_circuit_parameters(circuit, adapt=True) -> CircuitParameters:
     return CircuitParameters(0, 0, 0, pre.k_map, pre.n, pre.q)
 
 
-def generate_parameters(circuit, d: int, x: int = None, alpha: int = None,
-                        adapt=True) -> Parameters:
-    """generator.rs:320-401: srs + vk for the circuit."""
-    from .adaptor import AdaptorCircuit
+def get_circuit_parameters_for_succinct_sonic(circuit, adapt=True) -> CircuitParameters:
+    """generator.rs:277-318: counts under the M=3 permutation synthesizer
+    (the succinct protocol's gate counts differ - ephemeral wires)."""
+    from .adaptor import AdaptorCircuit, CountingAdaptor
+    from .synthesis import PermutationSynthesizer, permutation3_synthesize
 
-    srs = generate_srs(d, x, alpha)
-    sonic_circuit = AdaptorCircuit(circuit) if adapt else circuit
-    vk = VerifyingKey.new(sonic_circuit, srs)
-    return Parameters(vk, srs)
+    pre = Preprocess()
+    if adapt:
+        cs = PermutationSynthesizer(pre)
+        counter = CountingAdaptor(cs)
+        counter.alloc_one()
+        circuit.synthesize(counter)
+        return CircuitParameters(
+            num_inputs=counter.num_inputs,
+            num_aux=counter.num_aux,
+            num_constraints=counter.num_constraints,
+            k_map=pre.k_map,
+            n=pre.n,
+            q=pre.q,
+        )
+    permutation3_synthesize(pre, circuit)
+    return CircuitParameters(0, 0, 0, pre.k_map, pre.n, pre.q)
+
+
+def generate_parameters_on_srs_and_information(srs: SRS,
+                                               info: CircuitParameters) -> Parameters:
+    """generator.rs:349-401: trim the SRS to min_d = 4n + 2*NUM_BLINDINGS
+    and build the verifying key from the counts."""
+    min_d = 4 * info.n + 2 * NUM_BLINDINGS
+    assert srs.d >= min_d, "SRS too small for the circuit"
+    trimmed = SRS(
+        d=min_d,
+        g_negative_x=srs.g_negative_x[: min_d + 1],
+        g_positive_x=srs.g_positive_x[: min_d + 1],
+        h_negative_x=srs.h_negative_x[: min_d + 1],
+        h_positive_x=srs.h_positive_x[: min_d + 1],
+        g_negative_x_alpha=srs.g_negative_x_alpha[:min_d],
+        g_positive_x_alpha=srs.g_positive_x_alpha[:min_d],
+        h_negative_x_alpha=srs.h_negative_x_alpha[: min_d + 1],
+        h_positive_x_alpha=srs.h_positive_x_alpha[: min_d + 1],
+    )
+    vk = VerifyingKey(
+        alpha_x=trimmed.h_positive_x_alpha[1],
+        alpha=trimmed.h_positive_x_alpha[0],
+        neg_h=trimmed.h_negative_x[0].neg(),
+        neg_x_n_minus_d=trimmed.h_negative_x[trimmed.d - info.n].neg(),
+        k_map=info.k_map,
+        n=info.n,
+        q=info.q,
+    )
+    return Parameters(vk, trimmed)
+
+
+def generate_parameters(circuit, x: int = None, alpha: int = None,
+                        adapt=True) -> Parameters:
+    """generator.rs:320-336: auto-sized srs (d = 4n + 2*NUM_BLINDINGS)."""
+    info = get_circuit_parameters(circuit, adapt)
+    srs = generate_srs(4 * info.n + 2 * NUM_BLINDINGS, x, alpha)
+    return generate_parameters_on_srs_and_information(srs, info)
+
+
+def generate_parameters_on_srs(circuit, srs: SRS, adapt=True) -> Parameters:
+    """generator.rs:337-347."""
+    info = get_circuit_parameters(circuit, adapt)
+    return generate_parameters_on_srs_and_information(srs, info)
+
+
+def generate_random_parameters(circuit, adapt=True) -> Parameters:
+    """generator.rs:58-75 (OS-entropy x/alpha)."""
+    return generate_parameters(circuit, adapt=adapt)
