@@ -165,7 +165,12 @@ class KeypairAssembly(ConstraintSystem):
 
 class ProvingAssignment(ConstraintSystem):
     """Captures witness values + per-constraint a/b/c evaluations
-    (bellman groth16/prover.rs:137-186)."""
+    (bellman groth16/prover.rs:137-186).
+
+    The density bool-lists ARE the DensityTracker/QueryDensity layer
+    (source.rs:81-140): bases live in numpy arrays, so the reference's
+    streaming `Source` iterator collapses to boolean-mask slicing at the
+    multiexp call sites (groth16/prover.py)."""
 
     def __init__(self):
         self.input_assignment: list[int] = []
