@@ -143,3 +143,20 @@ def test_portable_contribute(radix_dir):
     before = MPCParameters.read(before_bytes)
     after = MPCParameters.read(after_bytes)
     assert verify_contribution(before, after) == h
+
+
+def test_solidity_verifier_export(radix_dir):
+    """generate_verifier analog: all template placeholders substituted with
+    the actual vk points (circom_circuit.rs:202-241)."""
+    from phase2_bn254_tpu.phase2.circom import CircomCircuit
+    from phase2_bn254_tpu.phase2.mpc import MPCParameters
+    from phase2_bn254_tpu.phase2.solidity import create_verifier_sol
+
+    circuit = CircomCircuit.from_json(CIRCUIT_JSON)
+    mp = MPCParameters.new(circuit, True, _radix_path_for(radix_dir))
+    sol = create_verifier_sol(mp.params)
+    assert "<%" not in sol, "unsubstituted template placeholder"
+    assert f"uint256({mp.params.vk.alpha_g1.x})" in sol
+    assert f"uint256({mp.params.vk.gamma_g2.x.c1})" in sol
+    assert f"vk.IC[{len(mp.params.vk.ic) - 1}]" in sol
+    assert "pragma solidity" in sol and "function verify" in sol
