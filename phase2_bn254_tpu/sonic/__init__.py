@@ -187,6 +187,30 @@ def multiply_polynomials(a: list[int], b: list[int]) -> list[int]:
 # ---------------------------------------------------------------------------
 
 def _msm(points, scalars):
+    """G1 multi-scalar mul: host wNAF-free loop for test sizes, the device
+    Pippenger backend above the dispatch threshold (the SONIC provers do
+    O(n)-sized commitment MSMs per proof - the TPU hot path for real
+    circuits)."""
+    import os
+
+    n = len(points)
+    if (
+        n >= 4096
+        and not os.environ.get("PHASE2_TPU_SONIC_HOST_MSM")
+    ):
+        try:
+            import jax
+
+            if jax.default_backend() != "cpu":
+                from ..ops.backend import JaxBackend
+
+                backend = JaxBackend()
+                return backend.msm(
+                    backend.from_points(list(points), "g1"),
+                    [s % R_MOD for s in scalars],
+                )
+        except Exception:
+            pass  # fall through to the exact host path
     acc = rc.point_zero("g1")
     for p, s in zip(points, scalars):
         if s % R_MOD:
