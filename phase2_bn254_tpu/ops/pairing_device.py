@@ -52,13 +52,20 @@ _G3SQ_INT = XI.pow((Q * Q - 1) // 2)
 _XI_C = (9, 1)
 
 
+def _nine(x):
+    """9x by doubling: 9 = 8 + 1."""
+    x2 = fp.add(CTX, x, x)
+    x4 = fp.add(CTX, x2, x2)
+    x8 = fp.add(CTX, x4, x4)
+    return fp.add(CTX, x8, x)
+
+
 def _mul_by_xi(a):
     """(c0 + c1 u) * (9 + u) = (9c0 - c1) + (9c1 + c0) u."""
     c0, c1 = Fq2Ops.c(a, 0), Fq2Ops.c(a, 1)
-    nine = lambda x: fp.add(CTX, fp.add(CTX, fp.add(CTX, fp.add(CTX, x, x), fp.add(CTX, x, x)), fp.add(CTX, fp.add(CTX, x, x), fp.add(CTX, x, x))), x)
-    r0 = fp.sub(CTX, nine(c0), c1)
-    r1 = fp.add(CTX, nine(c1), c0)
-    return Fq2Ops.pack(r0, r1)
+    return Fq2Ops.pack(
+        fp.sub(CTX, _nine(c0), c1), fp.add(CTX, _nine(c1), c0)
+    )
 
 
 # ---------------------------------------------------------------------------
