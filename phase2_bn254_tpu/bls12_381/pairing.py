@@ -20,7 +20,6 @@ from .curve import Point
 from .field import (
     BLS_X,
     BLS_X_IS_NEGATIVE,
-    FQ2_ZERO,
     FQ12_ONE,
     Fq2,
     Fq6,
@@ -28,9 +27,6 @@ from .field import (
     Q,
     R_MOD,
 )
-
-FQ2_TWO = Fq2(2, 0)
-FQ2_THREE = Fq2(3, 0)
 
 # kept for cross-checks: the chain below produces f^FINAL_EXP
 FINAL_EXP = 3 * ((Q**12 - 1) // R_MOD)

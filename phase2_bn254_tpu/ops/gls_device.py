@@ -26,7 +26,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..refimpl import gls as rgls
-from ..refimpl.field import R_MOD
 from .glv_device import (
     DIG,
     _apply_signed_t,

@@ -49,7 +49,6 @@ _G2_INT = XI.pow((Q - 1) // 3)
 _G3_INT = XI.pow((Q - 1) // 2)
 _G2SQ_INT = XI.pow((Q * Q - 1) // 3)
 _G3SQ_INT = XI.pow((Q * Q - 1) // 2)
-_XI_C = (9, 1)
 
 
 def _nine(x):

@@ -17,7 +17,6 @@ from ..refimpl import curve as rc
 from ..refimpl.field import R_MOD
 from ..refimpl.pairing import FQ12_ONE, fq12_mul, pairing
 from . import SRS
-from .cs import LinearCombination, Variable
 from .synthesis import (
     NonassigningSynthesizer,
     Preprocess,

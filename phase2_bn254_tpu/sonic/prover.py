@@ -18,7 +18,6 @@ from ..refimpl.field import R_MOD
 from . import (
     SRS,
     Transcript,
-    kate_division,
     multiply_polynomials,
     polynomial_commitment,
     polynomial_commitment_opening,

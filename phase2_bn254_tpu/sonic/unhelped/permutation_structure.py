@@ -12,7 +12,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from ...refimpl import curve as rc
-from .. import SRS, Transcript
+from .. import SRS
 from ..synthesis import M, PermutationSynthesizer, Preprocess
 from ..cs import A
 from .permutation import (
