@@ -210,6 +210,10 @@ class Batch:
     def check_all(self) -> bool:
         from . import _msm
 
+        # consumed-by-move in the reference (batch.rs check_all(mut self));
+        # guard against accidental reuse in Python
+        assert not getattr(self, "_consumed", False), "Batch already checked"
+        self._consumed = True
         self.alpha.append((self.g, self.value))
         acc = FQ12_ONE
         for terms, g2 in (
