@@ -3,16 +3,22 @@
 Brand-new JAX/XLA/Pallas implementation with the capabilities of
 kobigurk/phase2-bn254 (see SURVEY.md). Subpackages:
 
-* field/   - vectorized multi-limb Montgomery arithmetic (Fq, Fr, Fq2)
-* curve/   - masked Jacobian group law, windowed scalar-mul, point codecs
-* ops/     - ceremony bulk kernels (batch_exp, MSM, NTT) + JAX backend
-* parallel/- mesh sharding (pjit/shard_map) for multi-chip runs
-* crypto/  - ChaCha20 (rand-0.4 bit-exact), Blake2b/SHA-256 helpers
-* refimpl/ - exact Python-int spec layer (golden tests, host pairings)
-* ceremony/- phase-1 powers-of-tau protocol (params, keypair, accumulator)
-* groth16/ - R1CS + Groth16 prover/verifier stack
-* phase2/  - circuit-specific MPC (MPCParameters), Circom import, exporters
-* cli/     - byte-compatible command-line tools
+* field/    - vectorized multi-limb Montgomery arithmetic (Fq, Fr, Fq2)
+* curve/    - masked Jacobian group law, windowed scalar-mul, point codecs
+* ops/      - ceremony bulk kernels (Pallas batch-exp/NTT, MSM, GLV/GLS
+              splits, device pairing) + JAX backend
+* parallel/ - mesh sharding (pjit/shard_map), distributed NTT, multi-host
+* crypto/   - ChaCha20 (rand-0.4 bit-exact), Blake2b/SHA-256, Keccak-256
+* refimpl/  - exact Python-int spec layer (golden tests, host pairings)
+* ceremony/ - phase-1 powers-of-tau protocol (params, keypair, accumulator,
+              out-of-core streaming)
+* groth16/  - R1CS + Groth16 generator/prover/verifier stack
+* gm17/     - GM17 SAP reduction + generator (reference feature-flag scope)
+* sonic/    - complete SONIC: helped + unhelped (succinct) protocols
+* phase2/   - circuit-specific MPC (MPCParameters), Circom import,
+              snarkjs/Solidity exporters + npm-free snarkjs verifier
+* bls12_381/- second engine: exact host layer + 24-limb device path + GLV
+* cli/      - byte-compatible command-line tools (14 reference bins + extras)
 """
 
 import os
