@@ -34,13 +34,25 @@ def _enable_compile_cache():
 
         if jax.config.jax_compilation_cache_dir:
             return  # respect an explicit setting (e.g. the test conftest)
-        # key the cache by backend platform: CPU AOT artifacts produced by a
-        # remote compile service are machine-specific and SIGILL elsewhere
-        platform = jax.default_backend()
-        if platform == "cpu":
+        # Decide the platform WITHOUT initializing the backend:
+        # jax.default_backend() would open the (possibly remote) device
+        # tunnel at import time, which can hang every consumer — including
+        # host-only code paths.  jax_platforms is a plain config read.
+        first = (jax.config.jax_platforms or "").split(",")[0]
+        if first == "cpu":
             # XLA:CPU AOT cache entries have crashed on reload here
             # (machine-feature mismatch SIGSEGV in the AOT loader)
             return
+        if not first:
+            # platform unset: enable only if a TPU-ish PJRT plugin is
+            # importable, still without initializing it
+            import importlib.util
+
+            if not any(
+                importlib.util.find_spec(m) for m in ("libtpu", "axon")
+            ):
+                return
+        platform = "tpu"
         cache = os.environ.get(
             "PHASE2_TPU_CACHE_DIR",
             os.path.join(

@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import native
 from ..curve import group as G
 from ..field import fp
 from .device import CTX_BLS_FQ as CTX, FQ2_OPS as FQ2
@@ -37,6 +38,9 @@ _Q_BYTES = np.frombuffer(int(Q).to_bytes(FQ_BYTES, "big"), dtype=np.uint8)
 
 def be_bytes_to_digits(b: np.ndarray) -> np.ndarray:
     """uint8 (n, 48) BE bytes -> uint32 (n, 24) LE 16-bit digits."""
+    out = native.be_bytes_to_digits(b, NL)
+    if out is not None:
+        return out
     n = b.shape[0]
     pairs = b.reshape(n, NL, 2).astype(np.uint32)
     be = (pairs[..., 0] << 8) | pairs[..., 1]
@@ -44,6 +48,9 @@ def be_bytes_to_digits(b: np.ndarray) -> np.ndarray:
 
 
 def digits_to_be_bytes(d: np.ndarray) -> np.ndarray:
+    out = native.digits_to_be_bytes(d, NL)
+    if out is not None:
+        return out
     n = d.shape[0]
     be = d[:, ::-1]
     out = np.empty((n, NL, 2), dtype=np.uint8)

@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import native
 from ..field import fp
 from ..field.fq2 import Fq2Ops, FqOps
 from ..refimpl.field import Q
@@ -31,7 +32,8 @@ CTX = fp.FpContext(Q, "fq")
 FQ = FqOps(CTX)
 FQ2 = Fq2Ops(CTX)
 
-_Q_BYTES = np.frombuffer(Q.to_bytes(32, "big"), dtype=np.uint8).astype(np.int16)
+_Q_BE = Q.to_bytes(32, "big")
+_Q_BYTES = np.frombuffer(_Q_BE, dtype=np.uint8).astype(np.int16)
 
 # curve coefficients in Montgomery form (device constants)
 _B_G1 = jnp.asarray(fp.int_to_limbs(CTX.to_mont_int(3)))
@@ -210,11 +212,17 @@ def _g2_to_canonical(x, y):
 # public codec API
 # ---------------------------------------------------------------------------
 
-def decode_batch(raw: bytes, group: str, count: int, compressed: bool, check: bool) -> G.AffineBatch:
-    """Bytes -> device AffineBatch (Montgomery form). Raises on infinity,
-    out-of-field coordinates, off-curve (check=True), or bad QR decompression.
-    """
-    esize = (32 if group == "g1" else 64) * (1 if compressed else 2)
+def _decode_digits_host(raw: bytes, count: int, ncoords: int, compressed: bool):
+    """Element bytes -> (digits (count, ncoords, 16) uint32 in file coordinate
+    order, greatest bool mask), validating flags and coordinate range.  Uses
+    the native C++ codec when available, numpy otherwise."""
+    res = native.decode_digits(
+        raw, count, ncoords, 16, _Q_BE, reject_greatest=not compressed
+    )
+    if res is not None:
+        digits, greatest, _ = res
+        return digits, greatest
+    esize = ncoords * 32
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(count, esize).copy()
     flags = arr[:, 0]
     if np.any(flags & 0x40):
@@ -223,44 +231,38 @@ def decode_batch(raw: bytes, group: str, count: int, compressed: bool, check: bo
     if not compressed and np.any(greatest):
         raise ValueError("compression flag set on uncompressed point")
     arr[:, 0] &= 0x3F
+    digits = np.empty((count, ncoords, 16), dtype=np.uint32)
+    for c in range(ncoords):
+        coord = arr[:, 32 * c : 32 * (c + 1)]
+        _check_lt_q(coord, f"coordinate {c}")
+        digits[:, c] = be_bytes_to_digits(coord)
+    return digits, greatest
+
+
+def decode_batch(raw: bytes, group: str, count: int, compressed: bool, check: bool) -> G.AffineBatch:
+    """Bytes -> device AffineBatch (Montgomery form). Raises on infinity,
+    out-of-field coordinates, off-curve (check=True), or bad QR decompression.
+    """
+    ncoords = (1 if group == "g1" else 2) * (1 if compressed else 2)
+    digits, greatest = _decode_digits_host(raw, count, ncoords, compressed)
 
     if group == "g1":
         if compressed:
-            x = arr
-            _check_lt_q(x, "g1.x")
             batch, valid = _g1_decompress(
-                jnp.asarray(be_bytes_to_digits(x)), jnp.asarray(greatest)
+                jnp.asarray(digits[:, 0]), jnp.asarray(greatest)
             )
         else:
-            x, y = arr[:, :32], arr[:, 32:]
-            _check_lt_q(x, "g1.x")
-            _check_lt_q(y, "g1.y")
             batch, valid = _g1_from_canonical(
-                jnp.asarray(be_bytes_to_digits(x)), jnp.asarray(be_bytes_to_digits(y)), check
+                jnp.asarray(digits[:, 0]), jnp.asarray(digits[:, 1]), check
             )
     else:
+        # file coordinate order is c1 || c0; the device stacks want [c0, c1]
         if compressed:
-            xc1, xc0 = arr[:, :32], arr[:, 32:64]
-            _check_lt_q(xc0, "g2.x.c0")
-            _check_lt_q(xc1, "g2.x.c1")
-            xd = jnp.stack(
-                [jnp.asarray(be_bytes_to_digits(xc0)), jnp.asarray(be_bytes_to_digits(xc1))],
-                axis=-2,
-            )
+            xd = jnp.asarray(digits[:, [1, 0]])
             batch, valid = _g2_decompress(xd, jnp.asarray(greatest))
         else:
-            xc1, xc0 = arr[:, :32], arr[:, 32:64]
-            yc1, yc0 = arr[:, 64:96], arr[:, 96:128]
-            for nm, c in (("x.c0", xc0), ("x.c1", xc1), ("y.c0", yc0), ("y.c1", yc1)):
-                _check_lt_q(c, f"g2.{nm}")
-            xd = jnp.stack(
-                [jnp.asarray(be_bytes_to_digits(xc0)), jnp.asarray(be_bytes_to_digits(xc1))],
-                axis=-2,
-            )
-            yd = jnp.stack(
-                [jnp.asarray(be_bytes_to_digits(yc0)), jnp.asarray(be_bytes_to_digits(yc1))],
-                axis=-2,
-            )
+            xd = jnp.asarray(digits[:, [1, 0]])
+            yd = jnp.asarray(digits[:, [3, 2]])
             batch, valid = _g2_from_canonical(xd, yd, check)
 
     if compressed or check:
@@ -278,43 +280,32 @@ def encode_batch(
     """Device AffineBatch -> bytes. The accumulator never serializes points
     at infinity; radix files may (allow_infinity=True) with the 0x40 flag."""
     infs = np.asarray(batch.inf)
-    if infs.any():
-        if not allow_infinity:
-            raise ValueError("point at infinity cannot be serialized into the accumulator")
-        out = np.frombuffer(
-            encode_batch(
-                G.AffineBatch(batch.x, batch.y, jnp.zeros_like(batch.inf)),
-                group,
-                compressed,
-            ),
-            dtype=np.uint8,
-        ).reshape(infs.shape[0], -1).copy()
-        out[infs] = 0
-        out[infs, 0] = 0x40
-        return out.tobytes()
+    has_inf = bool(infs.any())
+    if has_inf and not allow_infinity:
+        raise ValueError("point at infinity cannot be serialized into the accumulator")
+
     if group == "g1":
         packed = np.asarray(_g1_to_canonical(batch.x, batch.y))  # one pull
-        xd, yd, greatest = packed[:, 0:16], packed[:, 16:32], packed[:, 32] != 0
-        xb = digits_to_be_bytes(xd)
-        if compressed:
-            out = xb
-            out[:, 0] |= np.where(greatest, 0x80, 0).astype(np.uint8)
-        else:
-            out = np.concatenate([xb, digits_to_be_bytes(yd)], axis=1)
-        return out.tobytes()
-    packed = np.asarray(_g2_to_canonical(batch.x, batch.y))  # one pull
-    xc0, xc1 = packed[:, 0:16], packed[:, 16:32]
-    yc0, yc1 = packed[:, 32:48], packed[:, 48:64]
-    greatest = packed[:, 64] != 0
-    xb = np.concatenate([digits_to_be_bytes(xc1), digits_to_be_bytes(xc0)], axis=1)
-    if compressed:
-        out = xb
-        out[:, 0] |= np.where(greatest, 0x80, 0).astype(np.uint8)
+        # packed columns: x@0, y@16, greatest@32; file order = x (|| y)
+        cols = [0] if compressed else [0, 16]
     else:
-        yb = np.concatenate(
-            [digits_to_be_bytes(yc1), digits_to_be_bytes(yc0)], axis=1
-        )
-        out = np.concatenate([xb, yb], axis=1)
+        packed = np.asarray(_g2_to_canonical(batch.x, batch.y))  # one pull
+        # packed columns: x.c0@0, x.c1@16, y.c0@32, y.c1@48, greatest@64;
+        # file order = x.c1 || x.c0 (|| y.c1 || y.c0)
+        cols = [16, 0] if compressed else [16, 0, 48, 32]
+    gcol = packed.shape[1] - 1 if compressed else -1
+
+    out = native.encode_digits(
+        packed, cols, 16, greatest_col=gcol, inf_mask=infs if has_inf else None
+    )
+    if out is None:  # numpy fallback
+        greatest = packed[:, -1] != 0
+        out = np.concatenate([digits_to_be_bytes(packed[:, c : c + 16]) for c in cols], axis=1)
+        if compressed:
+            out[:, 0] |= np.where(greatest, 0x80, 0).astype(np.uint8)
+        if has_inf:
+            out[infs] = 0
+            out[infs, 0] = 0x40
     return out.tobytes()
 
 
