@@ -222,3 +222,31 @@ def pallas_batch_mul_glv(points: list[host.Point], scalars: list[int]) -> list[h
     jac = group.JacobianBatch(ox.T, oy.T, oz.T)
     out = jax.jit(lambda j: group.jac_normalize(f, j))(jac)
     return batch_to_points(jax.tree.map(np.asarray, out), "g1")
+
+
+def decompose_glv_signed_t(scalars_t):
+    """Signed base-32 GLV digit arrays (d1, d2 int32[W, N], lane sign folded
+    in) on device; W comes from the plan's analytic component bound."""
+    global _GLV_PLAN
+    from ..ops.glv_device import decompose_signed_plan_t
+
+    if _GLV_PLAN is None:
+        _GLV_PLAN = _glv_plan()
+    return decompose_signed_plan_t(scalars_t, _GLV_PLAN)
+
+
+def pallas_batch_mul_glv_signed(points: list[host.Point], scalars: list[int]) -> list[host.Point]:
+    """Signed-digit GLV double ladder (26 x 5-bit windows vs 33 x 4-bit:
+    ~10% fewer mont_muls). Bit-exact with host `Point.mul`."""
+    from ..ops import pallas_exp
+
+    f = _field_ops("g1")
+    batch = points_to_batch(points, "g1")
+    sc_t = scalars_to_canon(scalars).T
+    d1, d2 = decompose_glv_signed_t(sc_t)
+    ox, oy, oz = pallas_exp.pallas_batch_exp_glv_signed(
+        batch.x.T, batch.y.T, d1, d2, 512, _glv_fld()
+    )
+    jac = group.JacobianBatch(ox.T, oy.T, oz.T)
+    out = jax.jit(lambda j: group.jac_normalize(f, j))(jac)
+    return batch_to_points(jax.tree.map(np.asarray, out), "g1")

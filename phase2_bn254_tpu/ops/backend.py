@@ -133,6 +133,14 @@ def _pow_mul_pallas(f, log2n: int, batch: G.AffineBatch, tau_start, tau_pows, co
         if os.environ.get("PHASE2_TPU_NO_GLV"):
             digits_msb = pallas_exp.scalar_windows_t_msb(scalars_t)
             ox, oy, oz = pallas_exp.pallas_batch_exp(batch.x.T, batch.y.T, digits_msb)
+        elif os.environ.get("PHASE2_TPU_SIGNED5"):
+            # signed base-32 double ladder (~10% fewer mont_muls):
+            # algorithm-validated (tests/test_glv_signed.py); opt-in until
+            # its Mosaic compile is verified on real hardware
+            d1, d2 = glv_device.decompose_signed_device_t(scalars_t)
+            ox, oy, oz = pallas_exp.pallas_batch_exp_glv_signed(
+                batch.x.T, batch.y.T, d1, d2
+            )
         else:
             d1, d2, negs = glv_device.decompose_device_t(scalars_t)
             ox, oy, oz = pallas_exp.pallas_batch_exp_glv(

@@ -319,6 +319,15 @@ class GlvPlan:
         sd = 1 if det > 0 else -1
         self.key = (r_mod, a1, b1, a2, b2, windows)
         self.windows = windows
+        # signed base-32 digit count: |k_i| <= (|a1|+|a2|)/2 exactly rounded,
+        # plus <= 1 unit of Barrett rounding slack per c_i (so + |a1|+|a2|);
+        # W signed digits in [-16, 15] represent any non-negative v up to
+        # 15*(32^W - 1)/31
+        bound = 3 * max(abs(a1) + abs(a2), abs(b1) + abs(b2)) // 2 + 2
+        w = 1
+        while 15 * ((1 << (5 * w)) - 1) // 31 < bound:
+            w += 1
+        self.windows5 = w
         m1 = _barrett(abs(b2), r_mod)
         m2 = _barrett(abs(b1), r_mod)
         self.m1_d = _digits(m1, _ndigits(m1))
@@ -385,3 +394,67 @@ def decompose_plan_t(scalars_t: jnp.ndarray, plan: GlvPlan = BN_PLAN):
 def decompose_device_t(scalars_t: jnp.ndarray):
     """BN254 production entry point (see decompose_plan_t)."""
     return decompose_plan_t(scalars_t, BN_PLAN)
+
+
+# ---------------------------------------------------------------------------
+# signed base-32 digits (5-bit windows, lane sign folded into the digits)
+# ---------------------------------------------------------------------------
+
+
+def _signed_windows5_t(mag: jnp.ndarray, neg: jnp.ndarray, nwin: int) -> jnp.ndarray:
+    """(KDIG, N) 16-bit magnitude rows + (1, N) sign -> int32[nwin, N] signed
+    base-32 digits in [-16, 15], MSB-first, with the lane sign folded in
+    (digits of -v are the negated digits of v, each still within [-16, 16])."""
+    # unsigned 5-bit windows, LSB-first
+    vals = []
+    for w in range(nwin):
+        d, s = divmod(5 * w, DIG)
+        v = mag[d : d + 1] >> s
+        if s > DIG - 5 and d + 1 < mag.shape[0]:
+            v = v | (mag[d + 1 : d + 2] << (DIG - s))
+        vals.append((v & 0x1F).astype(jnp.int32))
+    # signed recode: digit >= 16 borrows from the next window
+    carry = jnp.zeros_like(vals[0])
+    rows = []
+    for v in vals:
+        t = v + carry
+        carry = (t >= 16).astype(jnp.int32)
+        rows.append(t - (carry << 5))
+    # the windows5 sizing guarantees the final carry is zero (see GlvPlan)
+    signed = [jnp.where(neg, -r, r) for r in rows]
+    return jnp.concatenate(signed[::-1], axis=0)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def decompose_signed_plan_t(scalars_t: jnp.ndarray, plan: GlvPlan = BN_PLAN):
+    """uint32[nlimbs, N] canonical transposed scalars -> (d1 int32[W,N],
+    d2 int32[W,N]) signed base-32 digits MSB-first for the signed GLV
+    ladder (pallas_exp.pallas_batch_exp_glv_signed); no separate sign
+    masks - the per-lane k_i sign is folded into the digits."""
+    k = scalars_t
+    T_bits = DIG * TDIG
+    c1 = _mul_digits_t(k, plan.m1_d, KDIG + TDIG, round_bit=T_bits - 1)[TDIG:]
+    c2 = _mul_digits_t(k, plan.m2_d, KDIG + TDIG, round_bit=T_bits - 1)[TDIG:]
+
+    k_low = k[:KDIG] if k.shape[0] >= KDIG else _carry_t(k, KDIG)
+    t1 = _mul_digits_t(c1, plan.a1_d, KDIG)
+    t2 = _mul_digits_t(c2, plan.a2_d, KDIG)
+    k1 = _apply_signed_t(k_low, t1, plan.s1 * plan.sa1)
+    k1 = _apply_signed_t(k1, t2, plan.s2 * plan.sa2)
+    u1 = _mul_digits_t(c1, plan.b1_d, KDIG)
+    u2 = _mul_digits_t(c2, plan.b2_d, KDIG)
+    zero = jnp.zeros_like(k_low)
+    k2 = _apply_signed_t(zero, u1, plan.s1 * plan.sb1)
+    k2 = _apply_signed_t(k2, u2, plan.s2 * plan.sb2)
+
+    k1_mag, k1_neg = _twos_complement_abs_t(k1)
+    k2_mag, k2_neg = _twos_complement_abs_t(k2)
+    return (
+        _signed_windows5_t(k1_mag, k1_neg, plan.windows5),
+        _signed_windows5_t(k2_mag, k2_neg, plan.windows5),
+    )
+
+
+def decompose_signed_device_t(scalars_t: jnp.ndarray):
+    """BN254 signed-digit production entry point."""
+    return decompose_signed_plan_t(scalars_t, BN_PLAN)

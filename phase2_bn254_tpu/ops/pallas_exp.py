@@ -658,6 +658,160 @@ def batch_exp_transposed_glv(batch_x, batch_y, scalars: list[int], tile: int = 5
 
 
 # ---------------------------------------------------------------------------
+# signed-digit GLV ladder: base-32 windows, digits in [-16, 15] (lane sign
+# folded in) - 26 windows of 5 doublings + 2 adds vs 33 windows of 4 + 2:
+# ~10% fewer mont_muls per point than the unsigned 4-bit double ladder
+# ---------------------------------------------------------------------------
+
+
+def _batch_exp_glv_signed_kernel(
+    pprime, n_windows, p_ref, one_ref, beta_ref, x_ref, y_ref, d1_ref,
+    d2_ref, ox_ref, oy_ref, oz_ref, table_ref,
+):
+    """Signed double ladder: per window add sign(d1)*table[|d1|] and
+    sign(d2)*phi(table[|d2|]). Table holds entries 0..16 (17 slots, plane 3
+    = beta*X); y is negated post-gather where the digit is negative.
+    Limb-count generic like the unsigned kernel."""
+    T = x_ref.shape[1]
+    ops = TOps(p_ref[:], pprime, lazy=True)
+    ones = one_ref[:]
+    beta = beta_ref[:]
+    zeros = jnp.zeros((x_ref.shape[0], T), U32)
+
+    table_ref[0, 0] = zeros
+    table_ref[0, 1] = ones
+    table_ref[0, 2] = zeros
+    table_ref[0, 3] = zeros
+    base = (x_ref[:], y_ref[:], ones)
+    table_ref[1, 0], table_ref[1, 1], table_ref[1, 2] = base
+    table_ref[1, 3] = ops.mont_mul(base[0], beta)
+
+    def build(d, prev):
+        nxt = ops.jac_add(prev, base)
+        table_ref[pl.ds(d, 1), 0] = nxt[0][None]
+        table_ref[pl.ds(d, 1), 1] = nxt[1][None]
+        table_ref[pl.ds(d, 1), 2] = nxt[2][None]
+        table_ref[pl.ds(d, 1), 3] = ops.mont_mul(nxt[0], beta)[None]
+        return nxt
+
+    jax.lax.fori_loop(2, 17, build, base)
+
+    def gather(dig_ref, w, x_plane):
+        d = dig_ref[pl.ds(w, 1), :]  # (1,T) int32 in [-16, 15]
+        da = jnp.abs(d)
+        ex, ey, ez = zeros, ones, zeros
+        for k in range(1, 17):
+            m = da == k
+            ex = ops.sel(m, table_ref[k, x_plane], ex)
+            ey = ops.sel(m, table_ref[k, 1], ey)
+            ez = ops.sel(m, table_ref[k, 2], ez)
+        ey = ops.sel(d < 0, ops.sub(jnp.zeros_like(ey), ey), ey)
+        return ex, ey, ez
+
+    def window(w, acc):
+        acc = ops.jac_double(acc)
+        acc = ops.jac_double(acc)
+        acc = ops.jac_double(acc)
+        acc = ops.jac_double(acc)
+        acc = ops.jac_double(acc)
+        acc = ops.jac_add(acc, gather(d1_ref, w, 0))
+        acc = ops.jac_add(acc, gather(d2_ref, w, 3))  # phi: beta*X plane
+        return acc
+
+    acc = jax.lax.fori_loop(0, n_windows, window, (zeros, ones, zeros))
+    ox_ref[:] = ops.canon_out(acc[0])
+    oy_ref[:] = ops.canon_out(acc[1])
+    oz_ref[:] = ops.canon_out(acc[2])
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def pallas_batch_exp_glv_signed(x_t, y_t, d1_msb, d2_msb, tile: int = 512,
+                                fld=None):
+    """Signed GLV windowed ladder. d1_msb/d2_msb: int32[W, N] signed base-32
+    digits (MSB first, lane sign folded in; glv_device.decompose_signed_*).
+
+    `fld` as in pallas_batch_exp_glv."""
+    if fld is None:
+        from ..refimpl.glv import BETA
+
+        fld = (
+            tuple(_P_LIMBS),
+            tuple(_ONE_MONT),
+            _PPRIME,
+            tuple(fp.int_to_limbs(BETA * (1 << 256) % Q)),
+        )
+    p_limbs, one_mont, pprime, beta_mont = fld
+    nl = len(p_limbs)
+    nw = d1_msb.shape[0]
+    n = x_t.shape[1]
+    tile = min(tile, n)
+    assert n % tile == 0
+    grid = (n // tile,)
+    spec_const = pl.BlockSpec((nl, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec16 = pl.BlockSpec((nl, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_dig = pl.BlockSpec((nw, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((nl, n), U32)] * 3
+    p_col = jnp.broadcast_to(jnp.asarray(p_limbs, U32)[:, None], (nl, tile))
+    one_col = jnp.broadcast_to(jnp.asarray(one_mont, U32)[:, None], (nl, tile))
+    beta_col = jnp.broadcast_to(
+        jnp.asarray(beta_mont, U32)[:, None], (nl, tile)
+    )
+    return pl.pallas_call(
+        functools.partial(_batch_exp_glv_signed_kernel, pprime, nw),
+        grid=grid,
+        in_specs=[spec_const, spec_const, spec_const, spec16, spec16, spec_dig, spec_dig],
+        out_specs=[spec16] * 3,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((17, 4, nl, tile), U32)],
+        interpret=jax.default_backend() == "cpu",
+    )(p_col, one_col, beta_col, x_t, y_t, d1_msb, d2_msb)
+
+
+def glv_signed_digit_arrays(scalars: list[int], nwin: int | None = None):
+    """Host-side signed-digit recode (test oracle for the device path):
+    decompose each scalar, emit signed base-32 digits MSB-first with the
+    component sign folded in."""
+    from ..refimpl import glv as rglv
+
+    if nwin is None:
+        from .glv_device import BN_PLAN
+
+        nwin = BN_PLAN.windows5
+    n = len(scalars)
+    d1 = np.zeros((nwin, n), dtype=np.int32)
+    d2 = np.zeros((nwin, n), dtype=np.int32)
+
+    def recode(k, out, i):
+        sign = -1 if k < 0 else 1
+        k = abs(k)
+        carry = 0
+        digs = []
+        for _ in range(nwin):
+            t = (k & 0x1F) + carry
+            k >>= 5
+            carry = 1 if t >= 16 else 0
+            digs.append(t - (carry << 5))
+        assert k == 0 and carry == 0, "signed window count too small"
+        out[:, i] = [sign * d for d in digs[::-1]]
+
+    for i, s in enumerate(scalars):
+        k1, k2 = rglv.decompose(s)
+        recode(k1, d1, i)
+        recode(k2, d2, i)
+    return d1, d2
+
+
+def batch_exp_transposed_glv_signed(batch_x, batch_y, scalars: list[int], tile: int = 512):
+    from ..curve import group as G
+
+    d1, d2 = glv_signed_digit_arrays(scalars)
+    ox, oy, oz = pallas_batch_exp_glv_signed(
+        batch_x.T, batch_y.T, jnp.asarray(d1), jnp.asarray(d2), tile
+    )
+    return G.JacobianBatch(ox.T, oy.T, oz.T)
+
+
+# ---------------------------------------------------------------------------
 # GLS quarter-length G2 ladder: k = k0 + k1*L + k2*L^2 + k3*L^3,
 # psi(x, y) = (conj(x)*C1, conj(y)*C2) acts as [L] on G2 (refimpl/gls.py)
 # ---------------------------------------------------------------------------

@@ -100,3 +100,34 @@ def test_pallas_glv_ladder_matches_host():
     scalars = [random.randrange(R_MOD) for _ in range(n - 2)] + [0, 1]
     got = bdev.pallas_batch_mul_glv(pts, scalars)
     assert got == [p.mul(s) for p, s in zip(pts, scalars)]
+
+
+def test_device_signed_decompose_identity():
+    scalars = EDGE + [random.randrange(R_MOD) for _ in range(25)]
+    sc_t = jnp.asarray(np.stack([fp.int_to_limbs(s, 17) for s in scalars]).T)
+    d1, d2 = jax.device_get(bdev.decompose_glv_signed_t(sc_t))
+    w5 = d1.shape[0]
+    assert d1.min() >= -16 and d1.max() <= 16
+    assert d2.min() >= -16 and d2.max() <= 16
+    for i, k in enumerate(scalars):
+        parts = []
+        for digs in (d1, d2):
+            v = 0
+            for w in range(w5):
+                v = (v << 5) + int(digs[w, i])
+            parts.append(v)
+        k1, k2 = parts
+        assert (k1 + k2 * glv.LAMBDA - k) % R_MOD == 0, (i, k)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("PHASE2_TPU_SLOW_TESTS"),
+    reason="interpret-mode Pallas 24-limb signed GLV ladder costs minutes of "
+    "XLA:CPU; set PHASE2_TPU_SLOW_TESTS=1 to run",
+)
+def test_pallas_signed_glv_ladder_matches_host():
+    n = 4
+    pts = [bc.G1_GEN.mul(random.randrange(1, R_MOD)) for _ in range(n)]
+    scalars = [random.randrange(R_MOD) for _ in range(n - 2)] + [0, 1]
+    got = bdev.pallas_batch_mul_glv_signed(pts, scalars)
+    assert got == [p.mul(s) for p, s in zip(pts, scalars)]
