@@ -154,10 +154,16 @@ def _pow_mul_pallas(f, log2n: int, batch: G.AffineBatch, tau_start, tau_pows, co
             # GLS quad ladder: algorithm-validated (tests/test_gls.py) but
             # its Mosaic compile is still unverified on real hardware -
             # opt-in until a clean TPU run lands, then flip the default
-            digits, negs = gls_device.decompose_device_t(scalars_t)
-            ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_gls(
-                x0, x1, y0, y1, digits, negs
-            )
+            if os.environ.get("PHASE2_TPU_SIGNED5"):
+                digits = gls_device.decompose_signed_device_t(scalars_t)
+                ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_gls_signed(
+                    x0, x1, y0, y1, digits
+                )
+            else:
+                digits, negs = gls_device.decompose_device_t(scalars_t)
+                ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_gls(
+                    x0, x1, y0, y1, digits, negs
+                )
         else:
             digits_msb = pallas_exp.scalar_windows_t_msb(scalars_t)
             ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_g2(

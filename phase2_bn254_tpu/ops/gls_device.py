@@ -65,11 +65,8 @@ _B_D = [[_digits(abs(v), max(1, _ndigits(v))) for v in row] for row in rgls._BAS
 _B_S = [[1 if v >= 0 else -1 for v in row] for row in rgls._BASIS]
 
 
-@jax.jit
-def decompose_device_t(scalars_t: jnp.ndarray):
-    """uint32[16, N] canonical transposed scalars -> (digits int32[4, 17, N]
-    MSB-first 4-bit windows of |ki|, negs int32[4, N])."""
-    k = scalars_t
+def _components_t(k: jnp.ndarray):
+    """Barrett Babai round-off -> four (|ki| digit rows, neg mask) pairs."""
     T_bits = DIG * TDIG
     # Barrett quotients mod 2^80 (low digits are exact regardless of the
     # truncated high digits - carries only propagate upward)
@@ -80,7 +77,7 @@ def decompose_device_t(scalars_t: jnp.ndarray):
 
     k_low = k[:KDIG] if k.shape[0] >= KDIG else _carry_t(k, KDIG)
     zero = jnp.zeros_like(k_low)
-    ks = []
+    out = []
     for t in range(4):
         acc = k_low if t == 0 else zero
         for j in range(4):
@@ -90,13 +87,17 @@ def decompose_device_t(scalars_t: jnp.ndarray):
             term = _mul_digits_t(cs[j], _B_D[j][t], KDIG)
             # subtract s_j * sign(B[j][t]) * term
             acc = _apply_signed_t(acc, term, _S[j] * _B_S[j][t])
-        ks.append(acc)
+        out.append(_twos_complement_abs_t(acc))
+    return out
 
-    mags, negs = [], []
-    for kt in ks:
-        mag, neg = _twos_complement_abs_t(kt)
-        mags.append(mag)
-        negs.append(neg.astype(jnp.int32))
+
+@jax.jit
+def decompose_device_t(scalars_t: jnp.ndarray):
+    """uint32[16, N] canonical transposed scalars -> (digits int32[4, 17, N]
+    MSB-first 4-bit windows of |ki|, negs int32[4, N])."""
+    comps = _components_t(scalars_t)
+    mags = [m for m, _ in comps]
+    negs = [n.astype(jnp.int32) for _, n in comps]
 
     def windows(mag):
         outs = []
@@ -107,6 +108,25 @@ def decompose_device_t(scalars_t: jnp.ndarray):
 
     digits = jnp.stack([windows(m) for m in mags], axis=0)  # (4, 17, N)
     return digits, jnp.concatenate(negs, axis=0)  # (4, N)
+
+
+# signed base-32 digit count: device |ki| < 2^67 (Babai + Barrett slack);
+# W digits in [-16, 15] represent any magnitude up to 15*(32^W - 1)/31
+GLS_WINDOWS5 = 14
+assert 15 * ((1 << (5 * GLS_WINDOWS5)) - 1) // 31 >= 1 << 67
+
+
+@jax.jit
+def decompose_signed_device_t(scalars_t: jnp.ndarray):
+    """uint32[16, N] canonical transposed scalars -> digits int32[4, 14, N]
+    signed base-32 MSB-first, component signs folded in (for the signed GLS
+    quad ladder)."""
+    from .glv_device import _signed_windows5_t
+
+    comps = _components_t(scalars_t)
+    return jnp.stack(
+        [_signed_windows5_t(m, n, GLS_WINDOWS5) for m, n in comps], axis=0
+    )
 
 
 def gls_digit_arrays(scalars: list[int]):
@@ -134,3 +154,24 @@ def gls_digit_arrays(scalars: list[int]):
         return digs[:, :GLS_WINDOWS][:, ::-1].T.copy()
 
     return np.stack([nibbles(r) for r in raws], axis=0), negs
+
+
+def gls_signed_digit_arrays(scalars: list[int]):
+    """Host-side signed recode oracle: int32[4, GLS_WINDOWS5, N] signed
+    base-32 digits MSB-first, component signs folded in."""
+    n = len(scalars)
+    out = np.zeros((4, GLS_WINDOWS5, n), dtype=np.int32)
+    for i, s in enumerate(scalars):
+        for t, kt in enumerate(rgls.decompose(s)):
+            sign = -1 if kt < 0 else 1
+            k = abs(kt)
+            carry = 0
+            digs = []
+            for _ in range(GLS_WINDOWS5):
+                v = (k & 0x1F) + carry
+                k >>= 5
+                carry = 1 if v >= 16 else 0
+                digs.append(v - (carry << 5))
+            assert k == 0 and carry == 0, "GLS_WINDOWS5 too small"
+            out[t, :, i] = [sign * d for d in digs[::-1]]
+    return out

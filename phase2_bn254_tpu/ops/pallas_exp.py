@@ -982,6 +982,145 @@ def batch_exp_transposed_gls(batch_x, batch_y, scalars: list[int], tile: int = 1
     return G.JacobianBatch(pack(ox0, ox1), pack(oy0, oy1), pack(oz0, oz1))
 
 
+def _batch_exp_gls_signed_kernel(
+    n_windows, p_ref, one_ref, c_ref, x0_ref, x1_ref, y0_ref, y1_ref,
+    d0_ref, d1_ref, d2_ref, d3_ref,
+    ox0_ref, ox1_ref, oy0_ref, oy1_ref, oz0_ref, oz1_ref, table_ref,
+):
+    """Signed quad ladder: per window add sign(d_i)*psi^i(table[|d_i|]),
+    d_i in [-16, 16] (component signs folded into the digits upstream).
+    14 windows of 5 doublings + 4 adds vs the unsigned 17 x 4 + 4."""
+    T = x0_ref.shape[1]
+    NL = x0_ref.shape[0]
+    fops = TOps(p_ref[:], lazy=True)
+    ops = T2Ops(fops)
+    onep = one_ref[:]
+    zerop = jnp.zeros((NL, T), U32)
+    one2 = (onep, zerop)
+    zero2 = (zerop, zerop)
+    C1 = (c_ref[0], c_ref[1])
+    C2 = (c_ref[2], c_ref[3])
+    N1 = c_ref[4]
+    N2 = c_ref[5]
+    C31 = (c_ref[6], c_ref[7])
+    C32 = (c_ref[8], c_ref[9])
+
+    def store(d, P):
+        (x0, x1), (y0, y1), (z0, z1) = P
+        for c, v in enumerate((x0, x1, y0, y1, z0, z1)):
+            if isinstance(d, int):
+                table_ref[d, c] = v
+            else:
+                table_ref[d, c] = v[None]
+
+    store(0, (zero2, one2, zero2))
+    base = ((x0_ref[:], x1_ref[:]), (y0_ref[:], y1_ref[:]), one2)
+    store(1, base)
+
+    def build(d, prev):
+        nxt = jac_add(ops, prev, base)
+        store(pl.ds(d, 1), nxt)
+        return nxt
+
+    jax.lax.fori_loop(2, 17, build, base)
+
+    def conj2(a):
+        return (a[0], fops.sub(zerop, a[1]))
+
+    def psi_apply(i, x, y, z):
+        if i == 0:
+            return x, y, z
+        if i == 1:
+            return ops.mul(conj2(x), C1), ops.mul(conj2(y), C2), conj2(z)
+        if i == 2:
+            return (
+                (fops.mont_mul(x[0], N1), fops.mont_mul(x[1], N1)),
+                (fops.mont_mul(y[0], N2), fops.mont_mul(y[1], N2)),
+                z,
+            )
+        return ops.mul(conj2(x), C31), ops.mul(conj2(y), C32), conj2(z)
+
+    digs = (d0_ref, d1_ref, d2_ref, d3_ref)
+
+    def window(w, acc):
+        acc = jac_double(ops, acc)
+        acc = jac_double(ops, acc)
+        acc = jac_double(ops, acc)
+        acc = jac_double(ops, acc)
+        acc = jac_double(ops, acc)
+        for i in range(4):
+            d = digs[i][pl.ds(w, 1), :]
+            da = jnp.abs(d)
+            ex, ey, ez = zero2, one2, zero2
+            for k in range(1, 17):
+                m = da == k
+                ex = ops.sel(m, (table_ref[k, 0], table_ref[k, 1]), ex)
+                ey = ops.sel(m, (table_ref[k, 2], table_ref[k, 3]), ey)
+                ez = ops.sel(m, (table_ref[k, 4], table_ref[k, 5]), ez)
+            ex, ey, ez = psi_apply(i, ex, ey, ez)
+            ng = d < 0
+            ey = ops.sel(ng, (fops.sub(zerop, ey[0]), fops.sub(zerop, ey[1])), ey)
+            acc = jac_add(ops, acc, (ex, ey, ez))
+        return acc
+
+    acc = jax.lax.fori_loop(0, n_windows, window, (zero2, one2, zero2))
+    (ox0_ref[:], ox1_ref[:]) = ops.canon_out(acc[0])
+    (oy0_ref[:], oy1_ref[:]) = ops.canon_out(acc[1])
+    (oz0_ref[:], oz1_ref[:]) = ops.canon_out(acc[2])
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def pallas_batch_exp_gls_signed(x0, x1, y0, y1, digits, tile: int = 128):
+    """Signed GLS quad ladder over transposed Fq2 planes uint32[16, N].
+
+    digits: int32[4, W, N] signed base-32 windows (MSB first, component
+    signs folded in; gls_device.decompose_signed_device_t)."""
+    n = x0.shape[1]
+    nw = digits.shape[1]
+    tile = min(tile, n)
+    assert n % tile == 0
+    grid = (n // tile,)
+    spec_const = pl.BlockSpec((NLIMBS, tile), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    spec_c10 = pl.BlockSpec((10, NLIMBS, tile), lambda i: (0, 0, 0), memory_space=pltpu.VMEM)
+    spec16 = pl.BlockSpec((NLIMBS, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    spec_dig = pl.BlockSpec((nw, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((NLIMBS, n), U32)] * 6
+    p_col = jnp.broadcast_to(jnp.asarray(_P_LIMBS)[:, None], (NLIMBS, tile))
+    one_col = jnp.broadcast_to(jnp.asarray(_ONE_MONT)[:, None], (NLIMBS, tile))
+    c_cols = jnp.broadcast_to(
+        jnp.asarray(_gls_constants())[:, :, None], (10, NLIMBS, tile)
+    )
+    return pl.pallas_call(
+        functools.partial(_batch_exp_gls_signed_kernel, nw),
+        grid=grid,
+        in_specs=[spec_const, spec_const, spec_c10, spec16, spec16, spec16, spec16,
+                  spec_dig, spec_dig, spec_dig, spec_dig],
+        out_specs=[spec16] * 6,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((17, 6, NLIMBS, tile), U32)],
+        interpret=jax.default_backend() == "cpu",
+    )(p_col, one_col, c_cols, x0, x1, y0, y1,
+      digits[0], digits[1], digits[2], digits[3])
+
+
+def batch_exp_transposed_gls_signed(batch_x, batch_y, scalars: list[int], tile: int = 128):
+    """Signed-digit GLS quad ladder (host recode oracle path)."""
+    from ..curve import group as G
+    from . import gls_device
+
+    digits = gls_device.gls_signed_digit_arrays(scalars)
+    x0, x1 = batch_x[:, 0].T, batch_x[:, 1].T
+    y0, y1 = batch_y[:, 0].T, batch_y[:, 1].T
+    ox0, ox1, oy0, oy1, oz0, oz1 = pallas_batch_exp_gls_signed(
+        x0, x1, y0, y1, jnp.asarray(digits), tile
+    )
+
+    def pack(c0, c1):
+        return jnp.stack([c0.T, c1.T], axis=-2)
+
+    return G.JacobianBatch(pack(ox0, ox1), pack(oy0, oy1), pack(oz0, oz1))
+
+
 # ---------------------------------------------------------------------------
 # host-facing wrapper matching ops.backend conventions
 # ---------------------------------------------------------------------------

@@ -110,3 +110,65 @@ def test_pallas_gls_kernel_matches_host():
     aff = G.jac_normalize(codecs.FQ2, jac)
     got = codecs.batch_to_points(aff, "g2")
     assert got == [p.mul(s) for p, s in zip(pts, scalars)]
+
+
+def test_signed_device_decompose_identity():
+    scalars = EDGE + [random.randrange(R_MOD) for _ in range(25)]
+    sc_t = jnp.asarray(np.stack([fp.int_to_limbs(s) for s in scalars]).T)
+    digits = np.asarray(jax.device_get(gls_device.decompose_signed_device_t(sc_t)))
+    assert digits.shape == (4, gls_device.GLS_WINDOWS5, len(scalars))
+    assert digits.min() >= -16 and digits.max() <= 16
+    for i, k in enumerate(scalars):
+        total = 0
+        for t in range(4):
+            v = 0
+            for w in range(gls_device.GLS_WINDOWS5):
+                v = (v << 5) + int(digits[t, w, i])
+            total += v * pow(gls.LAMBDA, t, R_MOD)
+        assert (total - k) % R_MOD == 0, (i, k)
+
+
+def test_signed_ladder_schedule_exact_simulation():
+    """The signed digit/psi schedule consumed by the signed Pallas kernel,
+    replayed with exact host arithmetic (5 doublings per window, digit sign
+    negates the gathered entry after psi)."""
+    P = rc.G2_GEN.mul(192837465)
+    scalars = [random.randrange(R_MOD) for _ in range(4)] + [0, 1, R_MOD - 1]
+    digits = gls_device.gls_signed_digit_arrays(scalars)
+    for idx, k in enumerate(scalars):
+        acc = rc.point_zero("g2")
+        for w in range(gls_device.GLS_WINDOWS5):
+            for _ in range(5):
+                acc = acc.double()
+            for i in range(4):
+                d = int(digits[i, w, idx])
+                if d == 0:
+                    continue
+                e = P.mul(abs(d))
+                for _ in range(i):
+                    e = gls.psi(e)
+                if d < 0:
+                    e = e.neg()
+                acc = acc.add(e)
+        assert acc == P.mul(k), (idx, k)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("PHASE2_TPU_XSLOW_TESTS"),
+    reason="interpret-mode Pallas signed G2 quad ladder costs tens of "
+    "minutes of XLA:CPU interpretation; validated on real TPU by "
+    "scripts/dev/bench_pallas_gls_signed.py",
+)
+def test_pallas_gls_signed_kernel_matches_host():
+    from phase2_bn254_tpu.curve import codecs
+    from phase2_bn254_tpu.curve import group as G
+    from phase2_bn254_tpu.ops import pallas_exp
+
+    n = 4
+    pts = [rc.G2_GEN.mul(random.randrange(1, R_MOD)) for _ in range(n)]
+    scalars = [random.randrange(R_MOD) for _ in range(n - 2)] + [0, 1]
+    batch = codecs.points_to_batch(pts, "g2")
+    jac = pallas_exp.batch_exp_transposed_gls_signed(batch.x, batch.y, scalars, tile=n)
+    aff = G.jac_normalize(codecs.FQ2, jac)
+    got = codecs.batch_to_points(aff, "g2")
+    assert got == [p.mul(s) for p, s in zip(pts, scalars)]
