@@ -133,41 +133,44 @@ def _pow_mul_pallas(f, log2n: int, batch: G.AffineBatch, tau_start, tau_pows, co
         if os.environ.get("PHASE2_TPU_NO_GLV"):
             digits_msb = pallas_exp.scalar_windows_t_msb(scalars_t)
             ox, oy, oz = pallas_exp.pallas_batch_exp(batch.x.T, batch.y.T, digits_msb)
-        elif os.environ.get("PHASE2_TPU_SIGNED5"):
-            # signed base-32 double ladder (~10% fewer mont_muls):
-            # algorithm-validated (tests/test_glv_signed.py); opt-in until
-            # its Mosaic compile is verified on real hardware
-            d1, d2 = glv_device.decompose_signed_device_t(scalars_t)
-            ox, oy, oz = pallas_exp.pallas_batch_exp_glv_signed(
-                batch.x.T, batch.y.T, d1, d2
-            )
-        else:
+        elif os.environ.get("PHASE2_TPU_NO_SIGNED5"):
+            # unsigned base-16 double ladder kept as a fallback/debug path
             d1, d2, negs = glv_device.decompose_device_t(scalars_t)
             ox, oy, oz = pallas_exp.pallas_batch_exp_glv(
                 batch.x.T, batch.y.T, d1, d2, negs
+            )
+        else:
+            # signed base-32 double ladder (~10% fewer mont_muls): default
+            # since the 2026-08-18 v5e run (compile clean, correctness spot
+            # checks pass, 174.9k pts/s vs 166k unsigned in bench.py)
+            d1, d2 = glv_device.decompose_signed_device_t(scalars_t)
+            ox, oy, oz = pallas_exp.pallas_batch_exp_glv_signed(
+                batch.x.T, batch.y.T, d1, d2
             )
         jac = G.JacobianBatch(ox.T, oy.T, oz.T)
     else:
         x0, x1 = batch.x[:, 0].T, batch.x[:, 1].T
         y0, y1 = batch.y[:, 0].T, batch.y[:, 1].T
-        if os.environ.get("PHASE2_TPU_GLS"):
-            # GLS quad ladder: algorithm-validated (tests/test_gls.py) but
-            # its Mosaic compile is still unverified on real hardware -
-            # opt-in until a clean TPU run lands, then flip the default
-            if os.environ.get("PHASE2_TPU_SIGNED5"):
-                digits = gls_device.decompose_signed_device_t(scalars_t)
-                ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_gls_signed(
-                    x0, x1, y0, y1, digits
-                )
-            else:
-                digits, negs = gls_device.decompose_device_t(scalars_t)
-                ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_gls(
-                    x0, x1, y0, y1, digits, negs
-                )
-        else:
+        if os.environ.get("PHASE2_TPU_NO_GLS"):
+            # plain 64x4-bit windowed ladder kept as a fallback/debug path
             digits_msb = pallas_exp.scalar_windows_t_msb(scalars_t)
             ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_g2(
                 x0, x1, y0, y1, digits_msb
+            )
+        elif os.environ.get("PHASE2_TPU_NO_SIGNED5"):
+            # unsigned GLS quad ladder (17x4-bit windows)
+            digits, negs = gls_device.decompose_device_t(scalars_t)
+            ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_gls(
+                x0, x1, y0, y1, digits, negs
+            )
+        else:
+            # signed GLS quad ladder (psi endomorphism, 14x5-bit signed
+            # windows): default since the 2026-08-18 v5e run (compile
+            # clean, correctness spot checks pass, 66.5k pts/s vs 47k for
+            # the plain ladder)
+            digits = gls_device.decompose_signed_device_t(scalars_t)
+            ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_gls_signed(
+                x0, x1, y0, y1, digits
             )
 
         def pack(c0, c1):

@@ -22,6 +22,7 @@ serialized parameters).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -102,8 +103,16 @@ def segmented_msm(points: list, scalars: list[int], seg_ids: list[int], n_segmen
 
         scalars_t = jnp.asarray(sc.T.copy())
         if f.components == 1:
-            d1, d2, negs = glv_device.decompose_device_t(scalars_t)
-            ox, oy, oz = pallas_exp.pallas_batch_exp_glv(batch.x.T, batch.y.T, d1, d2, negs)
+            if os.environ.get("PHASE2_TPU_NO_SIGNED5"):
+                d1, d2, negs = glv_device.decompose_device_t(scalars_t)
+                ox, oy, oz = pallas_exp.pallas_batch_exp_glv(
+                    batch.x.T, batch.y.T, d1, d2, negs
+                )
+            else:
+                d1, d2 = glv_device.decompose_signed_device_t(scalars_t)
+                ox, oy, oz = pallas_exp.pallas_batch_exp_glv_signed(
+                    batch.x.T, batch.y.T, d1, d2
+                )
             jac = G.JacobianBatch(ox.T, oy.T, oz.T)
         else:
             digits_msb = pallas_exp.scalar_windows_t_msb(scalars_t)

@@ -25,6 +25,7 @@ the accumulator is sharded over a device mesh:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -69,23 +70,29 @@ def _pow_mul_local_pallas(f, log2n_local: int, batch, tau_start_local, tau_pows,
     tau_pows_t = [tau_pows[j] for j in range(log2n_local)]
     scalars_t = pallas_exp.tau_powers_t(tau_start_local, tau_pows_t, coeff, log2n_local)
     if f.components == 1:
-        d1, d2, negs = glv_device.decompose_device_t(scalars_t)
-        ox, oy, oz = pallas_exp.pallas_batch_exp_glv(batch.x.T, batch.y.T, d1, d2, negs)
-        jac = G.JacobianBatch(ox.T, oy.T, oz.T)
-    else:
-        import os
-
-        x0, x1 = batch.x[:, 0].T, batch.x[:, 1].T
-        y0, y1 = batch.y[:, 0].T, batch.y[:, 1].T
-        if os.environ.get("PHASE2_TPU_GLS"):
-            digits, negs = gls_device.decompose_device_t(scalars_t)
-            ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_gls(
-                x0, x1, y0, y1, digits, negs
+        if os.environ.get("PHASE2_TPU_NO_SIGNED5"):
+            d1, d2, negs = glv_device.decompose_device_t(scalars_t)
+            ox, oy, oz = pallas_exp.pallas_batch_exp_glv(
+                batch.x.T, batch.y.T, d1, d2, negs
             )
         else:
+            d1, d2 = glv_device.decompose_signed_device_t(scalars_t)
+            ox, oy, oz = pallas_exp.pallas_batch_exp_glv_signed(
+                batch.x.T, batch.y.T, d1, d2
+            )
+        jac = G.JacobianBatch(ox.T, oy.T, oz.T)
+    else:
+        x0, x1 = batch.x[:, 0].T, batch.x[:, 1].T
+        y0, y1 = batch.y[:, 0].T, batch.y[:, 1].T
+        if os.environ.get("PHASE2_TPU_NO_GLS"):
             digits_msb = pallas_exp.scalar_windows_t_msb(scalars_t)
             ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_g2(
                 x0, x1, y0, y1, digits_msb
+            )
+        else:
+            digits = gls_device.decompose_signed_device_t(scalars_t)
+            ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_gls_signed(
+                x0, x1, y0, y1, digits
             )
 
         def pack(c0, c1):
