@@ -67,6 +67,9 @@ def _pow_mul_local_pallas(f, log2n_local: int, batch, tau_start_local, tau_pows,
     G1, GLS quad ladder for G2)."""
     from ..ops import glv_device, gls_device, pallas_exp
 
+    # shard_map hands each device a (1, 16) row of tau_starts; tau_powers_t
+    # wants the bare (16,) limb vector
+    tau_start_local = tau_start_local.reshape(-1)
     tau_pows_t = [tau_pows[j] for j in range(log2n_local)]
     scalars_t = pallas_exp.tau_powers_t(tau_start_local, tau_pows_t, coeff, log2n_local)
     if f.components == 1:
@@ -88,6 +91,14 @@ def _pow_mul_local_pallas(f, log2n_local: int, batch, tau_start_local, tau_pows,
             digits_msb = pallas_exp.scalar_windows_t_msb(scalars_t)
             ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_g2(
                 x0, x1, y0, y1, digits_msb
+            )
+        elif os.environ.get("PHASE2_TPU_NO_SIGNED5"):
+            # unsigned GLS quad ladder (17x4-bit windows), mirroring
+            # ops/backend.py so the documented fallback also covers the
+            # multi-chip path
+            digits, negs = gls_device.decompose_device_t(scalars_t)
+            ox0, ox1, oy0, oy1, oz0, oz1 = pallas_exp.pallas_batch_exp_gls(
+                x0, x1, y0, y1, digits, negs
             )
         else:
             digits = gls_device.decompose_signed_device_t(scalars_t)

@@ -1,9 +1,10 @@
 """Signed GLS quad-ladder G2 kernel: correctness spot-check + throughput.
 
-Run on TPU after bench_pallas_gls.py validates the unsigned GLS compile;
-the signed variant (14 windows x 5 doublings + 4 adds vs 17 x 4 + 4)
-should land another ~10% on top. On success flip both PHASE2_TPU_GLS and
-PHASE2_TPU_SIGNED5 defaults in ops/backend.py."""
+The signed variant (14 windows x 5 doublings + 4 adds vs 17 x 4 + 4) has
+been the DEFAULT G2 path since the 2026-08-18 v5e validation (66.5k pts/s);
+the old PHASE2_TPU_GLS / PHASE2_TPU_SIGNED5 opt-ins are gone. Current
+opt-outs: PHASE2_TPU_NO_SIGNED5=1 (unsigned 17x4 quad ladder),
+PHASE2_TPU_NO_GLS=1 (plain 64x4 ladder)."""
 
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))

@@ -1,7 +1,9 @@
 """Hardware validation + throughput for the signed base-32 GLV ladder.
 
-Run on the TPU (no flags); first run pays the Mosaic compile. On success,
-flip PHASE2_TPU_SIGNED5 to default-on in ops/backend.py.
+Run on the TPU (no flags); first run pays the Mosaic compile. The signed
+base-32 ladder has been the DEFAULT G1 path since the 2026-08-18 v5e
+validation (174.9k pts/s); the old PHASE2_TPU_SIGNED5 opt-in is gone and
+PHASE2_TPU_NO_SIGNED5=1 is the opt-out back to the unsigned base-16 ladder.
 """
 import sys, os
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..', '..'))

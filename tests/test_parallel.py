@@ -33,6 +33,36 @@ def test_sharded_pow_mul_matches_host(mesh):
     assert got == expect
 
 
+def test_sharded_pow_mul_g2_matches_host(mesh):
+    # G2 coverage of the sharded path (ADVICE r2): the XLA local kernel on the
+    # CPU mesh; the Pallas signed-GLS shard path is covered by the gated
+    # sharded-ceremony sweep and on hardware by scripts/dev/bench_pallas_gls_signed.py.
+    n = 16
+    pts = [rc.G2_GEN.mul(random.randrange(1, R_MOD)) for _ in range(n)]
+    batch = codecs.points_to_batch(pts, "g2")
+    tau = random.randrange(1, R_MOD)
+    coeff = random.randrange(1, R_MOD)
+    out = sharded.sharded_pow_mul(mesh, "g2", batch, tau, start=3, coeff=coeff)
+    got = codecs.batch_to_points(out, "g2")
+    expect = [p.mul(coeff * pow(tau, 3 + i, R_MOD) % R_MOD) for i, p in enumerate(pts)]
+    assert got == expect
+
+
+def test_sharded_pow_mul_pallas_path_g1(mesh):
+    # The production multi-chip TPU path (_pow_mul_local_pallas) through the
+    # Pallas interpreter: pins the shard_map scalar glue (tau_start row
+    # shapes, transposed tau-power ladder, GLV split) + kernel math that the
+    # XLA-path tests above never touch.
+    n = 32
+    pts = [rc.G1_GEN.mul(random.randrange(1, R_MOD)) for _ in range(n)]
+    batch = codecs.points_to_batch(pts, "g1")
+    tau = random.randrange(1, R_MOD)
+    out = sharded.sharded_pow_mul(mesh, "g1", batch, tau, start=2, coeff=None, use_pallas=True)
+    got = codecs.batch_to_points(out, "g1")
+    expect = [p.mul(pow(tau, 2 + i, R_MOD)) for i, p in enumerate(pts)]
+    assert got == expect
+
+
 def test_sharded_msm_matches_host(mesh):
     n = 16
     pts = [rc.G1_GEN.mul(random.randrange(1, R_MOD)) for _ in range(n)]
