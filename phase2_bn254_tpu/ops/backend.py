@@ -247,15 +247,23 @@ class JaxBackend:
             )
         f = _field_ops(ps.group)
         if target >= 64:
-            from . import msm as msm_mod
+            jac = None
+            if target >= 2048 and _use_pallas(ps.group, target):
+                # fused Mosaic bucket pipeline (lazy reduction, mixed adds);
+                # returns None on adversarially skewed digit distributions
+                from . import pallas_msm
 
-            # padding points carry scalar 0 => skipped by the bucket logic.
-            # Rolled limb loops: the Pippenger program is too large for the
-            # remote TPU compiler when unrolled.
-            with fp.force_rolled():
-                jac = msm_mod.msm_pippenger(
-                    f, padded, jnp.asarray(sc), msm_mod.pick_window(target)
-                )
+                jac = pallas_msm.msm_pallas_or_none(ps.group, padded, jnp.asarray(sc))
+            if jac is None:
+                from . import msm as msm_mod
+
+                # padding points carry scalar 0 => skipped by the bucket
+                # logic. Rolled limb loops: the Pippenger program is too
+                # large for the remote TPU compiler when unrolled.
+                with fp.force_rolled():
+                    jac = msm_mod.msm_pippenger(
+                        f, padded, jnp.asarray(sc), msm_mod.pick_window(target)
+                    )
             out = _normalize_kernel(f, jax.tree.map(lambda a: a[None], jac))
         else:
             out = _msm_kernel(f, padded, jnp.asarray(sc))

@@ -1,0 +1,520 @@
+"""Pallas TPU Pippenger multi-scalar multiplication (G1 + G2).
+
+The TPU-native reformulation of bellman's bucketed multiexp
+(/root/reference/bellman/src/multiexp.rs:53-157), with the bucket adds running
+through the fused Mosaic group law (transposed limb planes, lazy [0,2p)
+reduction) instead of the generic XLA path that `ops/msm.py` uses:
+
+1.  XLA preprocessing, per c-bit window: extract digits, argsort points by
+    digit, `searchsorted` the bucket boundaries, then ONE gather builds a
+    dense (W, B) "wave grid": wave k holds, for every bucket b in parallel,
+    that bucket's k-th point (lanes with k >= occupancy are masked invalid).
+2.  Wave-accumulate kernel: grid (bucket tiles, W); the bucket accumulators
+    live in VMEM across the wave dimension and every step performs one masked
+    MIXED add (madd-2007-bl, 6M+4S vs the 11M+5S unified add) of the wave
+    slice into the accumulators, 2^c lanes wide.
+3.  Suffix kernel: Pippenger's summation-by-parts sum_b b*S_b = sum_{b>=1}
+    U_b with U the inclusive suffix sums - log2(B) shifted jac_adds (lanes
+    shifted out are zero-filled, and Z=0 is the group identity, so no masks),
+    then a log2(B) tree fold to lane 0.
+4.  Window combination (c doublings + add per window, MSB first) runs on the
+    1-lane transposed XLA path inside the same jit - a few hundred field muls
+    total.
+
+W (the wave count = max bucket occupancy) is data-dependent: the dispatcher
+computes it on device, pulls one scalar to the host, and compiles the kernel
+for W rounded up to a multiple of 32 (compile-cache friendly). Adversarially
+skewed digit distributions (max occupancy >> N/B) fall back to the XLA
+`msm_pippenger` path - see `msm_pallas_or_none`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..curve import group as G
+from ..field import fp
+from .pallas_exp import (
+    _ONE_MONT,
+    _P_LIMBS,
+    _PPRIME,
+    T2Ops,
+    TOps,
+    U32,
+    jac_add,
+    jac_double,
+)
+
+NLIMBS = fp.NLIMBS
+
+
+# ---------------------------------------------------------------------------
+# group-law piece: mixed add (madd-2007-bl, ec.rs:456-536 semantics)
+# ---------------------------------------------------------------------------
+
+
+def jac_madd(ops, P, qx, qy, q_valid, one):
+    """P (Jacobian) += (qx, qy) affine where q_valid; masked, exact.
+
+    Exceptional cases mirror curve/group.py's unified add: P at infinity
+    takes Q directly, equal points route through the (lax.cond-guarded)
+    doubling, opposite points cancel to infinity, invalid lanes keep P.
+    `one` is the Montgomery 1 block (tuple for Fq2)."""
+    px, py, pz = P
+    p_inf = ops.is_zero(pz)
+    z1z1 = ops.mul(pz, pz)
+    u2 = ops.mul(qx, z1z1)
+    s2 = ops.mul(ops.mul(qy, pz), z1z1)
+    eq_x = ops.eq(px, u2)
+    eq_y = ops.eq(py, s2)
+    h = ops.sub(u2, px)
+    hh = ops.mul(h, h)
+    i = ops.dbl(ops.dbl(hh))
+    j = ops.mul(h, i)
+    r = ops.dbl(ops.sub(s2, py))
+    v = ops.mul(px, i)
+    x3 = ops.sub(ops.sub(ops.mul(r, r), j), ops.dbl(v))
+    yj = ops.mul(py, j)
+    y3 = ops.sub(ops.mul(ops.sub(v, x3), r), ops.dbl(yj))
+    zh = ops.add(pz, h)
+    z3 = ops.sub(ops.sub(ops.mul(zh, zh), z1z1), hh)
+
+    is_dbl = eq_x & eq_y & ~p_inf & q_valid
+    is_cancel = eq_x & ~eq_y & ~p_inf & q_valid
+    # same-point adds are measure-zero in bucket traffic: branch around the
+    # embedded doubling instead of paying it every wave
+    dx, dy, dz = jax.lax.cond(
+        jnp.max(is_dbl.astype(jnp.int32)) > 0,
+        lambda: jac_double(ops, P),
+        lambda: (ops.zero_like(px), ops.zero_like(py), ops.zero_like(pz)),
+    )
+    x = ops.sel(is_dbl, dx, x3)
+    y = ops.sel(is_dbl, dy, y3)
+    z = ops.sel(is_dbl, dz, z3)
+    z = ops.sel(is_cancel, ops.zero_like(z), z)
+    # P at infinity: take Q (z = 1)
+    x = ops.sel(p_inf, qx, x)
+    y = ops.sel(p_inf, qy, y)
+    z = ops.sel(p_inf, one, z)
+    # invalid lane: keep P
+    x = ops.sel(~q_valid, px, x)
+    y = ops.sel(~q_valid, py, y)
+    z = ops.sel(~q_valid, pz, z)
+    return x, y, z
+
+
+# ---------------------------------------------------------------------------
+# kernel 1: wave accumulation into bucket accumulators
+# ---------------------------------------------------------------------------
+
+
+def _wave_kernel(pprime, comps, p_ref, one_ref, valid_ref, wave_ref, *out_refs):
+    """Grid (bucket tiles, W); out refs hold the bucket accumulators and are
+    revisited across the wave dimension (index map drops it). wave_ref packs
+    x||y (component-major) on the sublane axis: ONE row gather feeds the
+    whole wave slice (TPU gathers are per-row-overhead-bound)."""
+    k = pl.program_id(1)
+    base = TOps(p_ref[:], pprime, lazy=True)
+    one_b = one_ref[:]
+    zero_b = jnp.zeros_like(one_b)
+    nl = p_ref.shape[0]
+
+    if comps == 1:
+        ops = base
+        one = one_b
+        zero = zero_b
+        qx = wave_ref[0, 0:nl]
+        qy = wave_ref[0, nl : 2 * nl]
+    else:
+        ops = T2Ops(base)
+        one = (one_b, zero_b)
+        zero = (zero_b, zero_b)
+        qx = (wave_ref[0, 0:nl], wave_ref[0, nl : 2 * nl])
+        qy = (wave_ref[0, 2 * nl : 3 * nl], wave_ref[0, 3 * nl : 4 * nl])
+
+    @pl.when(k == 0)
+    def _init():
+        for c_ in range(comps):
+            out_refs[0 * comps + c_][:] = zero_b  # x
+            out_refs[1 * comps + c_][:] = one_b if c_ == 0 else zero_b  # y
+            out_refs[2 * comps + c_][:] = zero_b  # z
+
+    if comps == 1:
+        acc = (out_refs[0][:], out_refs[1][:], out_refs[2][:])
+    else:
+        acc = (
+            (out_refs[0][:], out_refs[1][:]),
+            (out_refs[2][:], out_refs[3][:]),
+            (out_refs[4][:], out_refs[5][:]),
+        )
+
+    valid = valid_ref[0] != 0  # (1,1,Btile) block -> (1, Btile) mask
+    x, y, z = jac_madd(ops, acc, qx, qy, valid, one)
+
+    if comps == 1:
+        out_refs[0][:], out_refs[1][:], out_refs[2][:] = x, y, z
+    else:
+        out_refs[0][:], out_refs[1][:] = x
+        out_refs[2][:], out_refs[3][:] = y
+        out_refs[4][:], out_refs[5][:] = z
+
+
+def _wave_accumulate(comps, wave_packed, valid, btile: int):
+    """wave_packed: uint32[W, 2*comps*NL, B] (x then y planes, component-major
+    within each coord, packed on sublanes); valid: int32[W, 1, B]. Returns
+    3*comps bucket planes uint32[NL, B]."""
+    w_cap, packed_nl, b = wave_packed.shape
+    nl = packed_nl // (2 * comps)
+    btile = min(btile, b)
+    assert b % btile == 0
+    grid = (b // btile, w_cap)
+    spec_const = pl.BlockSpec((nl, btile), lambda j, k: (0, 0), memory_space=pltpu.VMEM)
+    spec_wave = pl.BlockSpec(
+        (1, packed_nl, btile), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM
+    )
+    spec_valid = pl.BlockSpec((1, 1, btile), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((nl, btile), lambda j, k: (0, j), memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((nl, b), U32)] * (3 * comps)
+    p_col = jnp.broadcast_to(jnp.asarray(_P_LIMBS, U32)[:, None], (nl, btile))
+    one_col = jnp.broadcast_to(jnp.asarray(_ONE_MONT, U32)[:, None], (nl, btile))
+    return pl.pallas_call(
+        functools.partial(_wave_kernel, _PPRIME, comps),
+        grid=grid,
+        in_specs=[spec_const, spec_const, spec_valid, spec_wave],
+        out_specs=[spec_out] * (3 * comps),
+        out_shape=out_shape,
+        interpret=jax.default_backend() == "cpu",
+    )(p_col, one_col, valid, wave_packed)
+
+
+# ---------------------------------------------------------------------------
+# kernel 2: suffix-scan reduction  sum_b b*S_b  ->  lane 0
+# ---------------------------------------------------------------------------
+
+
+def _suffix_kernel(pprime, comps, p_ref, one_ref, wmask_ref, *refs):
+    """Suffix scan + fold as ONE fori_loop with a dynamic lane shift per step
+    (a single jac_add instance: 2*log2(B) unrolled adds made XLA:CPU's
+    interpret-mode compile quadratic-slow)."""
+    in_refs, out_refs = refs[: 3 * comps], refs[3 * comps :]
+    base = TOps(p_ref[:], pprime, lazy=True)
+    nl, b = in_refs[0].shape
+    log2b = b.bit_length() - 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+
+    def shiftp(P, s):
+        # lanes shifted in from the right get Z=0 (the group identity), so
+        # only the z planes need masking - x/y wrap garbage is inert
+        def sh(plane):
+            # left-rotate by s == right-rotate by b - s (keep shift >= 0)
+            return pltpu.roll(plane, b - s, axis=1)
+
+        def shz(plane):
+            return jnp.where(lane < b - s, sh(plane), jnp.zeros_like(plane))
+
+        if comps == 1:
+            return (sh(P[0]), sh(P[1]), shz(P[2]))
+        return (
+            (sh(P[0][0]), sh(P[0][1])),
+            (sh(P[1][0]), sh(P[1][1])),
+            (shz(P[2][0]), shz(P[2][1])),
+        )
+
+    def zmask(P, mask):
+        if comps == 1:
+            return (P[0], P[1], jnp.where(mask, P[2], jnp.zeros_like(P[2])))
+        z0, z1 = P[2]
+        return (
+            P[0],
+            P[1],
+            (jnp.where(mask, z0, jnp.zeros_like(z0)), jnp.where(mask, z1, jnp.zeros_like(z1))),
+        )
+
+    if comps == 1:
+        ops = base
+        P = (in_refs[0][:], in_refs[1][:], in_refs[2][:])
+    else:
+        ops = T2Ops(base)
+        P = (
+            (in_refs[0][:], in_refs[1][:]),
+            (in_refs[2][:], in_refs[3][:]),
+            (in_refs[4][:], in_refs[5][:]),
+        )
+
+    # phase 1 (steps 0..log2b-1, s = 1,2,..,b/2): inclusive suffix sums
+    # U_lane = sum_{l >= lane} S_l. With lane weight w = lane // G (the
+    # digit), summation by parts gives sum_lane w*S_lane = sum of U over the
+    # weight-step lanes (wmask: lane % G == 0 and lane != 0) - applied as a
+    # z-mask between the phases.
+    # phase 2 (steps log2b..2*log2b-1, s = b/2,..,2,1): fold into lane 0.
+    def step(t, P):
+        j = jnp.where(t < log2b, t, 2 * log2b - 1 - t)
+        s = (1 << j).astype(jnp.int32)
+        at_boundary = t == log2b
+        P = zmask(P, ~at_boundary | (wmask_ref[:] != 0))
+        return jac_add(ops, P, shiftp(P, s))
+
+    P = jax.lax.fori_loop(0, 2 * log2b, step, P)
+    if comps == 1:
+        coords = [base.canon_out(c_) for c_ in P]
+    else:
+        coords = []
+        for coord in P:
+            c0, c1 = ops.canon_out(coord)
+            coords.extend([c0, c1])
+    for idx, plane in enumerate(coords):
+        out_refs[idx][:] = plane[:, :128]
+
+
+def _suffix_reduce(comps, wmask, bucket_planes):
+    """3*comps bucket planes uint32[NL, B] -> 3*comps planes uint32[NL, 128]
+    with the window sum in lane 0 (canonical limbs). wmask: int32[1, B]
+    marking the weight-step lanes of the summation by parts."""
+    nl, b = bucket_planes[0].shape
+    assert b >= 128
+    spec_in = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((nl, 128), U32)] * (3 * comps)
+    p_col = jnp.asarray(_P_LIMBS, U32)[:, None] * jnp.ones((1, b), U32)
+    one_col = jnp.asarray(_ONE_MONT, U32)[:, None] * jnp.ones((1, b), U32)
+    return pl.pallas_call(
+        functools.partial(_suffix_kernel, _PPRIME, comps),
+        in_specs=[spec_in] * (3 + 3 * comps),
+        out_specs=[spec_in] * (3 * comps),
+        out_shape=out_shape,
+        # B=8192 planes put the jac_add live set over the default 16M scoped
+        # window; v5e VMEM is 128M
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() == "cpu",
+    )(p_col, one_col, wmask, *bucket_planes)
+
+
+# ---------------------------------------------------------------------------
+# XLA preprocessing + dispatch
+# ---------------------------------------------------------------------------
+
+
+SCALAR_BITS = 254  # canonical scalars < r < 2^254
+
+
+def _window_groups(c: int) -> np.ndarray:
+    """Per-window lane-group factors G_w = B / 2^(digit bits of window w).
+
+    Body windows use all c bits (G=1). The top window only spans the
+    remaining SCALAR_BITS - c*w bits, so its few possible digits would pile
+    N/2^topbits points into each bucket; instead each digit gets G lanes
+    and ranks are dealt round-robin across them (combined by the suffix
+    kernel's weight mask), keeping occupancy ~N/B for EVERY window."""
+    n_windows = -(-SCALAR_BITS // c)
+    gs = []
+    for w in range(n_windows):
+        nbits = min(c, SCALAR_BITS - c * w)
+        gs.append(1 << (c - nbits))
+    return np.array(gs, dtype=np.int32)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _prep_windows(scalars_canon, inf_mask, c: int):
+    """Digits + per-window argsort + bucket boundaries. Returns (orders,
+    starts, counts, max_occ): (nwin, N), (nwin, B), (nwin, B), ().
+    max_occ already accounts for the per-window group factors."""
+    from . import msm as msm_mod
+
+    n_windows = -(-SCALAR_BITS // c)
+    all_digits = jnp.stack(
+        [
+            jnp.where(inf_mask, 0, msm_mod._window_digits(scalars_canon, c, w)).astype(
+                jnp.int32
+            )
+            for w in range(n_windows)
+        ]
+    )
+    b = 1 << c
+    bucket_ids = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
+
+    def per_window(_, digits):
+        order = jnp.argsort(digits)
+        sd = digits[order]
+        starts = jnp.searchsorted(sd, bucket_ids, side="left")
+        ends = jnp.searchsorted(sd, bucket_ids, side="right")
+        counts = (ends - starts).astype(jnp.int32)
+        return None, (order.astype(jnp.int32), starts.astype(jnp.int32), counts)
+
+    _, (orders, starts, counts) = jax.lax.scan(per_window, None, all_digits)
+    gs = jnp.asarray(_window_groups(c))[:, None]
+    occ = -(-jnp.where(bucket_ids[None, :] == 0, 0, counts) // gs)
+    return orders, starts, counts, jnp.max(occ)
+
+
+def _packed_rows(batch: G.AffineBatch, comps: int):
+    """uint32[N, 2*comps*NL]: x||y limb rows (component-major within each
+    coord) so the per-window permutation is ONE row gather."""
+    if comps == 1:
+        return jnp.concatenate([batch.x, batch.y], axis=1)
+    return jnp.concatenate(
+        [batch.x[:, 0], batch.x[:, 1], batch.y[:, 0], batch.y[:, 1]], axis=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# kernel 3: window combination  result = sum_w 2^(c*w) * T_w
+# ---------------------------------------------------------------------------
+
+
+def _combine_kernel(pprime, comps, c, p_ref, one_ref, sums_ref, *out_refs):
+    """sums_ref: (nwin, 3*comps*NL, 128) canonical window sums, MSB first.
+    c doublings + one add per window, fori-rolled, 128 lanes wide (lane 0
+    carries the value; doing this on the 1-lane XLA path cost ~90 ms/window
+    in tiny op dispatches)."""
+    base = TOps(p_ref[:], pprime, lazy=True)
+    nl = p_ref.shape[0]
+    nwin = sums_ref.shape[0]
+    ops = base if comps == 1 else T2Ops(base)
+    one_b = one_ref[:]
+    zero_b = jnp.zeros_like(one_b)
+    if comps == 1:
+        P0 = (zero_b, one_b, zero_b)
+    else:
+        P0 = ((zero_b, zero_b), (one_b, zero_b), (zero_b, zero_b))
+
+    def body(w, P):
+        for _ in range(c):
+            P = jac_double(ops, P)
+        blk = sums_ref[w]  # (3*comps*NL, 128)
+        if comps == 1:
+            Q = (blk[0:nl], blk[nl : 2 * nl], blk[2 * nl : 3 * nl])
+        else:
+            Q = (
+                (blk[0:nl], blk[nl : 2 * nl]),
+                (blk[2 * nl : 3 * nl], blk[3 * nl : 4 * nl]),
+                (blk[4 * nl : 5 * nl], blk[5 * nl : 6 * nl]),
+            )
+        return jac_add(ops, P, Q)
+
+    P = jax.lax.fori_loop(0, nwin, body, P0)
+    if comps == 1:
+        coords = [base.canon_out(c_) for c_ in P]
+    else:
+        coords = []
+        for coord in P:
+            c0, c1 = ops.canon_out(coord)
+            coords.extend([c0, c1])
+    for idx, plane in enumerate(coords):
+        out_refs[idx][:] = plane
+
+
+def _combine_windows(comps, c, sums_msb):
+    """(nwin, 3*comps*NL, 128) -> 3*comps planes (NL, 128), lane 0 = MSM."""
+    nwin, _, width = sums_msb.shape
+    nl = sums_msb.shape[1] // (3 * comps)
+    spec_in = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((nl, width), U32)] * (3 * comps)
+    p_col = jnp.asarray(_P_LIMBS, U32)[:, None] * jnp.ones((1, width), U32)
+    one_col = jnp.asarray(_ONE_MONT, U32)[:, None] * jnp.ones((1, width), U32)
+    return pl.pallas_call(
+        functools.partial(_combine_kernel, _PPRIME, comps, c),
+        in_specs=[spec_in] * 3,
+        out_specs=[spec_in] * (3 * comps),
+        out_shape=out_shape,
+        interpret=jax.default_backend() == "cpu",
+    )(p_col, one_col, sums_msb)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _msm_main(comps, c: int, w_cap: int, btile: int, packed, orders, starts, counts):
+    """The full MSM given preprocessing: scan over windows (gather-sort the
+    payload, wave-accumulate buckets, suffix-reduce), then one combine
+    kernel over the per-window sums."""
+    n = packed.shape[0]
+    b = 1 << c
+
+    wave_ids = jax.lax.broadcasted_iota(jnp.int32, (w_cap, b), 0)
+    lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
+
+    def per_window(_, xs):
+        order, starts_w, counts_w, g = xs
+        # lane = digit*G + (rank % G); wave = rank // G  (G spreads the top
+        # window's few digits across lanes, see _window_groups). digit/group
+        # are constant down the wave axis: keep their table lookups (1, B).
+        # The payload permutation runs as TWO wide-row gathers (sort, then
+        # wave slots) - wide rows amortize the TPU per-row gather overhead;
+        # chasing order[pos] through the narrow (N,) index array costs ~4x
+        # the wide gathers combined.
+        digit_row = lane_row // g  # (1, B)
+        group_row = lane_row % g
+        starts_row = starts_w[digit_row]
+        counts_row = counts_w[digit_row]
+        rank = wave_ids * g + group_row
+        pos = jnp.minimum(starts_row + rank, n - 1)
+        valid = (rank < counts_row) & (digit_row != 0)
+        packed_sorted = packed[order]  # (N, 2*comps*NL) wide gather
+        wave_packed = jnp.transpose(packed_sorted[pos], (0, 2, 1))
+        buckets = _wave_accumulate(
+            comps, wave_packed, valid.astype(jnp.int32)[:, None, :], btile
+        )
+        wmask = ((lane_row % g == 0) & (lane_row != 0)).astype(jnp.int32)
+        sums = _suffix_reduce(comps, wmask, buckets)  # 3*comps of (NL, 128)
+        return None, jnp.concatenate(sums, axis=0)
+
+    # windows MSB-first
+    gs = jnp.asarray(_window_groups(c))
+    xs = (orders[::-1], starts[::-1], counts[::-1], gs[::-1])
+    _, sums_msb = jax.lax.scan(per_window, None, xs)
+    planes = _combine_windows(comps, c, sums_msb)
+    if comps == 1:
+        return planes[0][:, :1], planes[1][:, :1], planes[2][:, :1]
+    return (
+        (planes[0][:, :1], planes[1][:, :1]),
+        (planes[2][:, :1], planes[3][:, :1]),
+        (planes[4][:, :1], planes[5][:, :1]),
+    )
+
+
+def pick_window(n: int) -> int:
+    """Window size for the Pallas path: minimizes nwin*(N + slack*B) + fixed
+    suffix cost, empirically c ~ log2(N) - 7, clamped to [8, 13]."""
+    return max(8, min(13, n.bit_length() - 8))
+
+
+def _result_to_jac(comps, result) -> G.JacobianBatch:
+    """1-lane transposed planes -> row-major JacobianBatch with batch ()."""
+    if comps == 1:
+        x, y, z = (r[:, 0] for r in result)
+        return G.JacobianBatch(x, y, z)
+    (x0, x1), (y0, y1), (z0, z1) = result
+
+    def pack(c0, c1):
+        return jnp.stack([c0[:, 0], c1[:, 0]], axis=0)
+
+    return G.JacobianBatch(pack(x0, x1), pack(y0, y1), pack(z0, z1))
+
+
+def msm_pallas_or_none(
+    group: str, batch: G.AffineBatch, scalars_canon, c: int | None = None, btile: int = 2048
+):
+    """Device Pippenger through the Mosaic kernels; returns a JacobianBatch
+    with batch shape (), or None when the digit distribution is too skewed
+    for the dense wave grid (caller falls back to ops/msm.py).
+
+    scalars_canon: uint32[N, 16] canonical (NOT Montgomery)."""
+    n = batch.inf.shape[0]
+    if c is None:
+        c = pick_window(n)
+    b = 1 << c
+    orders, starts, counts, max_occ = _prep_windows(scalars_canon, batch.inf, c)
+    max_occ = int(max_occ)  # one host sync per MSM
+    mean = max(1, n // b)
+    if max_occ == 0 or max_occ > 4 * mean + 64:
+        # all-zero scalars, or adversarial skew (the wave grid would be
+        # mostly padding): let the caller's XLA path handle it
+        return None
+    w_cap = -(-max_occ // 8) * 8 if max_occ <= 64 else -(-max_occ // 32) * 32
+    comps = 1 if group == "g1" else 2
+    packed = _packed_rows(batch, comps)
+    result = _msm_main(comps, c, w_cap, btile, packed, orders, starts, counts)
+    return _result_to_jac(comps, result)
