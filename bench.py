@@ -1,20 +1,37 @@
 #!/usr/bin/env python
-"""Benchmark: G1 batch exponentiation throughput (the phase-1 contribute hot loop).
+"""Benchmark scoreboard: every BASELINE.json north-star metric, one JSON line.
 
-Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Headline metric stays `bn254_g1_batch_exp_points_per_s` at 2^16 (the phase-1
+contribute hot loop, /root/reference/powersoftau/src/batched_accumulator.rs:1130-1181);
+the `metrics` array carries the full scoreboard:
+
+  * G1/G2 fused-ladder batch exp at 2^16 and the 2^21 production chunk shape
+  * Pallas Pippenger MSM at 2^20 (multiexp.rs:521-549 harness analog)
+  * Pallas Fr NTT wall-clock at 2^20 / 2^22 (domain.rs:528-552 analog)
+  * end-to-end size-14 contribute (file-to-file, hash chain included)
 
 Baseline derivation: the reference computes a full 2^26 powers-of-tau
-contribution in ~3 hours on a laptop (/root/reference/powersoftau/README.md:11).
-That is 3*2^26 G1 + 2^27 G1 + 2^26 G2 ~= 4.03e8 G1-equivalent 256-bit scalar
-muls (G2 ~ 3x G1 cost) in 10800 s => ~5.0e4 G1 scalar muls/s. `vs_baseline`
-is our measured G1 points/s over that rate.
+contribution in ~3 hours on a laptop (/root/reference/powersoftau/README.md:11):
+3*2^26 G1 + 2^27 G1 + 2^26 G2 (~3x G1) ~= 5.4e8 G1-equivalent 256-bit scalar
+muls in 10800 s => ~5.0e4 G1-muls/s. `vs_baseline` is measured rate over that.
+
+Roofline: v5e VPU ~9.6e11 int32 lane-ops/s (8x128 lanes @ 0.94 GHz); a GLV
+G1 exp needs ~2150 mont_muls x 512 lane-ops (scripts/dev/microbench.py:60-82),
+a signed-GLS G2 exp ~5000 Fq-mul-equivalents. pct_of_roofline divides the
+analytic minimum by measured lane-op throughput.
 """
 
 import json
+import os
 import sys
+import tempfile
 import time
 
 BASELINE_G1_MULS_PER_S = 5.0e4
+PEAK_LANE_OPS = float(os.environ.get("PHASE2_TPU_PEAK_LANE_OPS", 8 * 128 * 0.94e9))
+MULS_PER_G1_EXP = 2150.0  # signed-GLV double ladder (ops/pallas_exp.py)
+MULS_PER_G2_EXP = 5000.0  # signed-GLS quad ladder, Fq-mul equivalents
+LANE_OPS_PER_MUL = 512.0  # 2 * NLIMBS^2 16x16 products (CIOS)
 
 
 def _device_watchdog(timeout_s: float = 300.0) -> bool:
@@ -39,47 +56,33 @@ def _device_watchdog(timeout_s: float = 300.0) -> bool:
     return bool(ok)
 
 
-def main():
+def _exp_roofline(pts_per_s, muls_per_exp):
+    return round(pts_per_s * muls_per_exp * LANE_OPS_PER_MUL / PEAK_LANE_OPS * 100, 1)
+
+
+def bench_batch_exp(group: str, log2n: int, reps: int):
+    """Fused-ladder pow_mul throughput (the contribute hot loop)."""
+    import random
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    if not _device_watchdog():
-        print(
-            json.dumps(
-                {
-                    "metric": "bn254_g1_batch_exp_points_per_s",
-                    "value": 0,
-                    "unit": "points/s/chip",
-                    "vs_baseline": 0,
-                    "error": "device unreachable (axon tunnel wedged; probe timed out)",
-                }
-            )
-        )
-        return
-
-    from phase2_bn254_tpu.field import fp
-    from phase2_bn254_tpu.ops.backend import (
-        CTX_R,
-        _pow_mul_kernel,
-        _field_ops,
-    )
     from phase2_bn254_tpu.curve import codecs
+    from phase2_bn254_tpu.field import fp
+    from phase2_bn254_tpu.ops.backend import CTX_R, _field_ops, _pow_mul_pallas
     from phase2_bn254_tpu.refimpl import curve as rc
     from phase2_bn254_tpu.refimpl.field import R_MOD
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 16
-    log2n = n.bit_length() - 1
-    assert 1 << log2n == n
-
-    # batch of distinct points (tau powers of the generator at a tiny scale
-    # would be circular; use s*G for random-ish s computed on host)
-    import random
-
+    n = 1 << log2n
     random.seed(9)
-    pts = [rc.G1_GEN.mul(random.randrange(1, R_MOD)) for _ in range(min(n, 64))]
-    batch = codecs.points_to_batch(pts * (n // len(pts)), "g1")
-
+    gen = rc.G1_GEN if group == "g1" else rc.G2_GEN
+    pts = [gen.mul(random.randrange(1, R_MOD)) for _ in range(64)]
+    base = codecs.points_to_batch(pts, group)
+    reps_tile = n // 64
+    batch = jax.tree.map(
+        lambda a: jnp.tile(a, (reps_tile,) + (1,) * (a.ndim - 1)), base
+    )
     tau = random.randrange(1, R_MOD)
     tau_start = jnp.asarray(fp.int_to_limbs(CTX_R.to_mont_int(1)))
     tau_pows = jnp.asarray(
@@ -88,34 +91,180 @@ def main():
         )
     )
     one = jnp.asarray(fp.int_to_limbs(CTX_R.to_mont_int(1)))
-
-    from phase2_bn254_tpu.ops.backend import _pow_mul_pallas, _use_pallas
-
-    f = _field_ops("g1")
-    kern = _pow_mul_pallas if _use_pallas("g1", n) else _pow_mul_kernel
-    # compile (np.asarray forces a full device->host sync; block_until_ready
-    # alone does not reliably block through the axon tunnel)
-    out = kern(f, log2n, batch, tau_start, tau_pows, one)
-    np.asarray(out.x)
-    # measure
-    reps = 3
+    f = _field_ops(group)
+    out = _pow_mul_pallas(f, log2n, batch, tau_start, tau_pows, one)
+    np.asarray(out.x)  # host pull: the only reliable barrier through axon
     t0 = time.time()
     for _ in range(reps):
-        out = kern(f, log2n, batch, tau_start, tau_pows, one)
+        out = _pow_mul_pallas(f, log2n, batch, tau_start, tau_pows, one)
         np.asarray(out.x)
-    dt = (time.time() - t0) / reps
-    pts_per_s = n / dt
+    return n / ((time.time() - t0) / reps)
 
-    print(
-        json.dumps(
-            {
-                "metric": "bn254_g1_batch_exp_points_per_s",
-                "value": round(pts_per_s, 1),
-                "unit": "points/s/chip",
-                "vs_baseline": round(pts_per_s / BASELINE_G1_MULS_PER_S, 3),
-            }
-        )
+
+def bench_msm(log2n: int, reps: int):
+    """Pallas Pippenger MSM points/s (same-point batch: value checked via
+    sum-of-scalars, mildly pessimistic for the wave double branch)."""
+    import random
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phase2_bn254_tpu.curve import codecs
+    from phase2_bn254_tpu.field import fp
+    from phase2_bn254_tpu.ops import pallas_msm
+    from phase2_bn254_tpu.ops.backend import _field_ops, _normalize_kernel
+    from phase2_bn254_tpu.refimpl import curve as rc
+    from phase2_bn254_tpu.refimpl.field import R_MOD
+
+    n = 1 << log2n
+    random.seed(11)
+    P = rc.G1_GEN.mul(random.randrange(1, R_MOD))
+    batch1 = codecs.points_to_batch([P], "g1")
+    batch = jax.tree.map(lambda a: jnp.broadcast_to(a, (n,) + a.shape[1:]), batch1)
+    scalars = [random.randrange(R_MOD) for _ in range(n)]
+    sc = jnp.asarray(np.stack([fp.int_to_limbs(s) for s in scalars]))
+    f = _field_ops("g1")
+
+    def run():
+        jac = pallas_msm.msm_pallas_or_none("g1", batch, sc)
+        assert jac is not None
+        aff = _normalize_kernel(f, jax.tree.map(lambda a: a[None], jac))
+        np.asarray(aff.x)
+        return aff
+
+    aff = run()
+    t0 = time.time()
+    for _ in range(reps):
+        aff = run()
+    dt = (time.time() - t0) / reps
+    got = codecs.batch_to_points(aff, "g1")[0]
+    assert got == P.mul(sum(scalars) % R_MOD), "MSM value mismatch"
+    return n / dt
+
+
+def bench_ntt(exp: int, reps: int):
+    """Pallas four-step Fr NTT wall-clock (domain.rs:528-552 analog)."""
+    import random
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from phase2_bn254_tpu.field import fp
+    from phase2_bn254_tpu.ops import ntt as ntt_mod
+    from phase2_bn254_tpu.ops.pallas_ntt import ntt_pallas
+
+    random.seed(13)
+    n = 1 << exp
+    vals = np.stack(
+        [
+            fp.int_to_limbs(ntt_mod.CTX_R.to_mont_int(random.randrange(ntt_mod.CTX_R.p)))
+            for _ in range(256)
+        ]
     )
+    coeffs = jnp.asarray(np.tile(vals, (n // 256, 1)))
+    out = ntt_pallas(exp, coeffs, False)
+    np.asarray(out[:1])
+    t0 = time.time()
+    for _ in range(reps):
+        out = ntt_pallas(exp, coeffs, False)
+        np.asarray(out[:1])
+    return (time.time() - t0) / reps
+
+
+def bench_contribute(size: int, batch: int):
+    """End-to-end file-to-file contribute (new_challenge + timed contribute),
+    the compute_constrained.rs:18-237 flow."""
+    from phase2_bn254_tpu.cli import phase1
+
+    d = tempfile.mkdtemp(prefix="bench_contrib_")
+    ch = os.path.join(d, "challenge")
+    resp = os.path.join(d, "response")
+    phase1.new_challenge(ch, size, batch)
+    rng = phase1.participant_rng("bench entropy", b"\x07" * 1024)
+    t0 = time.time()
+    phase1.contribute(ch, resp, size, batch, rng)
+    return time.time() - t0
+
+
+def main():
+    import jax  # noqa: F401
+
+    headline = {
+        "metric": "bn254_g1_batch_exp_points_per_s",
+        "value": 0,
+        "unit": "points/s/chip",
+        "vs_baseline": 0,
+    }
+    metrics = []
+
+    if not _device_watchdog():
+        headline["error"] = "device unreachable (axon tunnel wedged; probe timed out)"
+        print(json.dumps(headline))
+        return
+
+    def add(name, unit, fn, vs=None, roofline=None):
+        try:
+            t0 = time.time()
+            value = fn()
+            entry = {"name": name, "value": round(value, 1), "unit": unit}
+            if vs is not None:
+                entry["vs_baseline"] = round(vs(value), 3)
+            if roofline is not None:
+                entry["pct_of_roofline"] = roofline(value)
+            entry["bench_wall_s"] = round(time.time() - t0, 1)
+            metrics.append(entry)
+            print(f"# {name}: {entry}", file=sys.stderr)
+            return value
+        except Exception as e:  # one failed metric must not kill the board
+            metrics.append({"name": name, "error": f"{type(e).__name__}: {e}"})
+            print(f"# {name} FAILED: {e}", file=sys.stderr)
+            return None
+
+    v16 = add(
+        "g1_batch_exp_2^16",
+        "points/s/chip",
+        lambda: bench_batch_exp("g1", 16, reps=3),
+        vs=lambda v: v / BASELINE_G1_MULS_PER_S,
+        roofline=lambda v: _exp_roofline(v, MULS_PER_G1_EXP),
+    )
+    add(
+        "g1_batch_exp_2^21",
+        "points/s/chip",
+        lambda: bench_batch_exp("g1", 21, reps=1),
+        vs=lambda v: v / BASELINE_G1_MULS_PER_S,
+        roofline=lambda v: _exp_roofline(v, MULS_PER_G1_EXP),
+    )
+    add(
+        "g2_batch_exp_2^16",
+        "points/s/chip",
+        lambda: bench_batch_exp("g2", 16, reps=3),
+        vs=lambda v: 3 * v / BASELINE_G1_MULS_PER_S,  # G2 ~ 3x G1 work
+        roofline=lambda v: _exp_roofline(v, MULS_PER_G2_EXP),
+    )
+    add(
+        "g1_msm_pallas_2^20",
+        "points/s/chip",
+        lambda: bench_msm(20, reps=2),
+        # analytic minimum: 20 windows x 1.5 slot-madds/pt x 13 muls
+        roofline=lambda v: round(v * 20 * 1.5 * 13 * LANE_OPS_PER_MUL / PEAK_LANE_OPS * 100, 1),
+    )
+    add("fr_ntt_2^20", "s", lambda: bench_ntt(20, reps=3))
+    add("fr_ntt_2^22", "s", lambda: bench_ntt(22, reps=2))
+    add(
+        "contribute_e2e_size14",
+        "s",
+        lambda: bench_contribute(14, 1 << 13),
+        # reference-equivalent work: (3*2^14 + 2^15) G1 + 2^14 G2 (~3x G1)
+        # = 1.31e5 G1-muls => baseline would take that / 5.0e4 seconds
+        vs=lambda v: ((3 * (1 << 14) + (1 << 15) + 3 * (1 << 14)) / BASELINE_G1_MULS_PER_S) / v,
+    )
+
+    if v16:
+        headline["value"] = round(v16, 1)
+        headline["vs_baseline"] = round(v16 / BASELINE_G1_MULS_PER_S, 3)
+    headline["metrics"] = metrics
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

@@ -14,6 +14,18 @@ def _transcript_main(argv):
 
 
 def main():
+    # Multi-host runs must join the process group BEFORE any import
+    # initializes the XLA backend (the kernel stack's module-level jnp
+    # constants do); parallel.multihost is import-light by design.
+    import os
+
+    if os.environ.get("PHASE2_TPU_COORDINATOR") or os.environ.get(
+        "PHASE2_TPU_AUTO_DISTRIBUTED"
+    ):
+        from .parallel import multihost
+
+        multihost.init_distributed()
+
     from .cli import phase1, phase2 as p2cli
 
     tools = {

@@ -94,15 +94,37 @@ def beacon_rng(beacon_hash_hex: str, iterations_exp: int, progress: bool = True)
     return ChaChaRng.from_digest_be(cur)
 
 
+def _out_path(path: str) -> str:
+    """Multi-host runs: every process executes the same program (collectives
+    must stay aligned) and produces the same bytes, but only the coordinator
+    owns the REAL output file; other processes write to per-process scratch
+    (removed by _finish_out). Single-process: identity."""
+    try:
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            return f"{path}.proc{jax.process_index()}.scratch"
+    except Exception:
+        pass
+    return path
+
+
+def _finish_out(real_path: str, used_path: str) -> None:
+    if used_path != real_path and os.path.exists(used_path):
+        os.remove(used_path)
+
+
 def new_challenge(challenge_path: str, size: int, batch: int) -> bytes:
     """new_constrained.rs:14-103; returns the Blake2b hash of the file."""
     params = CeremonyParams(size, batch)
+    real, challenge_path = challenge_path, _out_path(challenge_path)
     with open(challenge_path, "wb") as f:
         f.truncate(params.accumulator_size)
         f.seek(0)
         f.write(hashlib.blake2b(b"").digest())
         accumulator.generate_initial(f, params, compressed=False)
     digest = calculate_hash(challenge_path)
+    _finish_out(real, challenge_path)
     return digest
 
 
@@ -118,6 +140,7 @@ def contribute(
     response (accumulator + public key) out. Returns the response hash."""
     params = CeremonyParams(size, batch)
     backend = backend or _default_backend()
+    real_response, response_path = response_path, _out_path(response_path)
 
     if os.path.getsize(challenge_path) != params.accumulator_size:
         raise ValueError("challenge file has wrong size")
@@ -146,6 +169,7 @@ def contribute(
         fout.write(pubkey.serialize())
 
     response_hash = calculate_hash(response_path)
+    _finish_out(real_response, response_path)
     print("Your contribution has been written; response hash:")
     print(pretty_hash(response_hash))
     return response_hash
@@ -162,6 +186,7 @@ def verify_transform(
     """verify_transform_constrained.rs:18-255. Returns new challenge hash."""
     params = CeremonyParams(size, batch)
     backend = backend or _default_backend()
+    real_new, new_challenge_path = new_challenge_path, _out_path(new_challenge_path)
 
     if os.path.getsize(challenge_path) != params.accumulator_size:
         raise ValueError("challenge file has wrong size")
@@ -204,6 +229,7 @@ def verify_transform(
         accumulator.decompress(fin, fnew, params, backend, check_input=False)
 
     new_hash = calculate_hash(new_challenge_path)
+    _finish_out(real_new, new_challenge_path)
     print("New challenge hash:")
     print(pretty_hash(new_hash))
     return new_hash
@@ -236,8 +262,26 @@ def main_compute(argv=None):
     if entropy is None:
         print("Type some random text and press [ENTER] to provide additional entropy...")
         entropy = sys.stdin.readline()
-    rng = participant_rng(entropy)
+    rng = participant_rng(entropy, system_entropy=_shared_system_entropy())
     contribute(a.challenge_file, a.response_file, a.circuit_power, a.batch_size, rng)
+
+
+def _shared_system_entropy() -> bytes | None:
+    """Multi-host contribute: all processes must derive the SAME keypair
+    (the collectives compute one participant's tau powers), so the
+    coordinator's OS entropy is broadcast to the process group - one
+    participant == one pod, a single trust domain. Single-process: None
+    (plain os.urandom inside participant_rng)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return None
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    mine = np.frombuffer(os.urandom(1024), dtype=np.uint8)
+    shared = multihost_utils.broadcast_one_to_all(mine)
+    return bytes(np.asarray(shared))
 
 
 def main_beacon(argv=None):

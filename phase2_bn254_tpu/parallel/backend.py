@@ -52,6 +52,11 @@ class ShardedBackend(JaxBackend):
         aff = sharded.sharded_pow_mul(
             self.mesh, ps.group, padded, tau, start, coeff, use_pallas=self.use_pallas
         )
+        if jax.process_count() > 1:
+            # encode/codecs index arbitrary batch elements: gather each
+            # process a full host copy (one cross-host all-gather per chunk;
+            # file I/O itself stays on the coordinator)
+            aff = jax.tree.map(lambda a: jnp.asarray(sharded.gather_host(self.mesh, a)), aff)
         return PointSet(aff, ps.n, ps.group)
 
     def msm(self, ps: PointSet, scalars: list[int]):

@@ -28,7 +28,9 @@ import os
 
 import jax
 
-from . import sharded
+# NOTE: keep this module import-light: init_distributed() must run before
+# anything initializes the XLA backend, and importing .sharded pulls in the
+# kernel stack whose module-level jnp constants do exactly that.
 
 
 def init_distributed() -> bool:
@@ -38,6 +40,8 @@ def init_distributed() -> bool:
     Trigger: PHASE2_TPU_COORDINATOR (host:port), plus PHASE2_TPU_NUM_PROCS /
     PHASE2_TPU_PROC_ID - or any standard JAX cluster env (JAX auto-detects
     on TPU pods, where initialize() needs no arguments)."""
+    if jax.distributed.is_initialized():
+        return True  # idempotent: __main__ initializes before CLI imports
     coord = os.environ.get("PHASE2_TPU_COORDINATOR")
     if coord:
         jax.distributed.initialize(
@@ -58,6 +62,8 @@ def global_mesh():
 
     Contiguous shards of a batch land on one host's chips before spilling to
     the next host, keeping pow_mul/MSM shard traffic on ICI."""
+    from . import sharded
+
     return sharded.make_mesh(jax.devices())
 
 

@@ -46,6 +46,34 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), (AXIS,))
 
 
+def put_global(mesh: Mesh, arr, pspec):
+    """Host/local array -> jax.Array laid out over the (possibly
+    multi-process) mesh.
+
+    Single-process: a plain device_put. Multi-process: every process holds
+    the same host value (ceremony inputs are decoded from the same file
+    bytes on each process), and make_array_from_callback places each
+    process's addressable shards - the standard jax.distributed input path
+    (SURVEY.md section 2.6: reference has no distributed inputs at all)."""
+    sharding = NamedSharding(mesh, pspec)
+    if jax.process_count() == 1:
+        return jax.device_put(jnp.asarray(arr), sharding)
+    host = np.asarray(arr)
+    return jax.make_array_from_callback(host.shape, sharding, lambda idx: host[idx])
+
+
+def gather_host(mesh: Mesh, x) -> np.ndarray:
+    """Global array -> full np.ndarray on every process (cross-host
+    all-gather via an identity jit re-sharded to replicated)."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    rep = jax.jit(
+        lambda a: a,
+        out_shardings=NamedSharding(mesh, P(*([None] * x.ndim))),
+    )(x)
+    return np.asarray(rep)
+
+
 def _pow_mul_local(f, log2n_local: int, batch, tau_start_local, tau_pows, coeff):
     """Per-shard tau-power ladder + batch scalar mul (no collectives)."""
     powers = tau_start_local[None]
@@ -164,7 +192,17 @@ def sharded_pow_mul(
         out_specs=pspec,
         check_vma=False,
     )
-    return fn(batch, jnp.asarray(tau_starts), jnp.asarray(tau_pows), jnp.asarray(coeff_arr))
+    gbatch = G.AffineBatch(
+        x=put_global(mesh, batch.x, pspec.x),
+        y=put_global(mesh, batch.y, pspec.y),
+        inf=put_global(mesh, batch.inf, pspec.inf),
+    )
+    return fn(
+        gbatch,
+        put_global(mesh, tau_starts, P(AXIS, None)),
+        put_global(mesh, tau_pows, P(None, None)),
+        put_global(mesh, coeff_arr, P(None)),
+    )
 
 
 def _point_pspec(group: str):
@@ -222,6 +260,12 @@ def sharded_msm(mesh: Mesh, group: str, batch: G.AffineBatch, scalars_canon: jnp
     c = msm_mod.pick_window(per) if per >= 64 else 0
     pspec = _point_pspec(group)
     out_coord = P(None, None) if group == "g1" else P(None, None, None)
+    gbatch = G.AffineBatch(
+        x=put_global(mesh, batch.x, pspec.x),
+        y=put_global(mesh, batch.y, pspec.y),
+        inf=put_global(mesh, batch.inf, pspec.inf),
+    )
+    gscalars = put_global(mesh, scalars_canon, P(AXIS, None))
     with fp.force_rolled():
         fn = shard_map(
             functools.partial(_msm_local, f, c),
@@ -230,4 +274,4 @@ def sharded_msm(mesh: Mesh, group: str, batch: G.AffineBatch, scalars_canon: jnp
             out_specs=G.AffineBatch(x=out_coord, y=out_coord, inf=P(None)),
             check_vma=False,
         )
-        return fn(batch, scalars_canon)
+        return fn(gbatch, gscalars)
