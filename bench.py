@@ -154,6 +154,8 @@ def bench_ntt(exp: int, reps: int):
     from phase2_bn254_tpu.ops import ntt as ntt_mod
     from phase2_bn254_tpu.ops.pallas_ntt import ntt_pallas
 
+    import jax
+
     random.seed(13)
     n = 1 << exp
     vals = np.stack(
@@ -163,11 +165,12 @@ def bench_ntt(exp: int, reps: int):
         ]
     )
     coeffs = jnp.asarray(np.tile(vals, (n // 256, 1)))
-    out = ntt_pallas(exp, coeffs, False)
+    fwd = jax.jit(lambda c: ntt_pallas(exp, c, False))
+    out = fwd(coeffs)
     np.asarray(out[:1])
     t0 = time.time()
     for _ in range(reps):
-        out = ntt_pallas(exp, coeffs, False)
+        out = fwd(coeffs)
         np.asarray(out[:1])
     return (time.time() - t0) / reps
 
@@ -175,15 +178,20 @@ def bench_ntt(exp: int, reps: int):
 def bench_contribute(size: int, batch: int):
     """End-to-end file-to-file contribute (new_challenge + timed contribute),
     the compute_constrained.rs:18-237 flow."""
+    import contextlib
+
     from phase2_bn254_tpu.cli import phase1
 
     d = tempfile.mkdtemp(prefix="bench_contrib_")
     ch = os.path.join(d, "challenge")
     resp = os.path.join(d, "response")
-    phase1.new_challenge(ch, size, batch)
-    rng = phase1.participant_rng("bench entropy", b"\x07" * 1024)
-    t0 = time.time()
-    phase1.contribute(ch, resp, size, batch, rng)
+    with contextlib.redirect_stdout(sys.stderr):  # keep stdout = one JSON line
+        phase1.new_challenge(ch, size, batch)
+        rng = phase1.participant_rng("bench entropy", b"\x07" * 1024)
+        phase1.contribute(ch, resp, size, batch, rng)  # warm the compiles
+        rng = phase1.participant_rng("bench entropy 2", b"\x09" * 1024)
+        t0 = time.time()
+        phase1.contribute(ch, resp + ".2", size, batch, rng)
     return time.time() - t0
 
 
@@ -229,9 +237,12 @@ def main():
         roofline=lambda v: _exp_roofline(v, MULS_PER_G1_EXP),
     )
     add(
-        "g1_batch_exp_2^21",
+        # large production chunk shape (full 2^21 as ONE kernel call OOMs
+        # the remote compile helper; real ceremonies stream 2^16..2^19
+        # chunks - batched_accumulator.rs:1119 equivalent)
+        "g1_batch_exp_2^19",
         "points/s/chip",
-        lambda: bench_batch_exp("g1", 21, reps=1),
+        lambda: bench_batch_exp("g1", 19, reps=1),
         vs=lambda v: v / BASELINE_G1_MULS_PER_S,
         roofline=lambda v: _exp_roofline(v, MULS_PER_G1_EXP),
     )
@@ -249,8 +260,9 @@ def main():
         # analytic minimum: 20 windows x 1.5 slot-madds/pt x 13 muls
         roofline=lambda v: round(v * 20 * 1.5 * 13 * LANE_OPS_PER_MUL / PEAK_LANE_OPS * 100, 1),
     )
-    add("fr_ntt_2^20", "s", lambda: bench_ntt(20, reps=3))
-    add("fr_ntt_2^22", "s", lambda: bench_ntt(22, reps=2))
+    add("fr_ntt_2^20", "ms", lambda: 1e3 * bench_ntt(20, reps=3))
+    add("fr_ntt_2^22", "ms", lambda: 1e3 * bench_ntt(22, reps=2))
+    add("fr_ntt_2^24", "ms", lambda: 1e3 * bench_ntt(24, reps=2))
     add(
         "contribute_e2e_size14",
         "s",

@@ -147,6 +147,93 @@ def _same_ratio_g2(g2s: tuple[rc.Point, rc.Point], g1_pair: tuple[rc.Point, rc.P
     return pairing(g1_pair[1], s) == pairing(g1_pair[0], sx)
 
 
+class SameRatioBatch:
+    """Queue same-ratio checks, evaluate them in ONE device pairing batch.
+
+    Each same_ratio((a,b),(c,d)) is e(a,d) == e(b,c): two pairings. A full
+    verify_transformation runs ~11 checks = ~22 pairings; at 72 ms per host
+    pairing that is ~1.6 s/round of Python, and an 89-round transcript
+    (/root/reference/powersoftau/examples/verify.rs:260-460) ~2.4 min. With
+    the batched device Miller loop (ops/pairing_device.py) all lanes run in
+    one scan program. Host pairings remain the fallback (CPU platforms,
+    tiny batches, PHASE2_TPU_NO_DEVICE_PAIRING=1).
+
+    Zero-point rejection happens at add() time, mirroring
+    refimpl.pairing.same_ratio (utils.rs:151-159)."""
+
+    def __init__(self, device_ok: bool = True):
+        self.device_ok = device_ok
+        self.items: list[tuple[str, tuple, tuple]] = []  # (label, (a,d), (b,c))
+        self.zero_failure: str | None = None
+
+    def add(self, label: str, g1_pair, g2_pair) -> None:
+        a, b = g1_pair
+        c, d = g2_pair
+        if any(p.is_zero() for p in (a, b, c, d)):
+            self.zero_failure = self.zero_failure or label
+            return
+        self.items.append((label, (a, d), (b, c)))
+
+    def add_g2(self, label: str, g2s, g1_pair) -> None:
+        """same-ratio with the G2 elements on the ratio side (swaps which
+        group feeds each pairing slot)."""
+        s, sx = g2s
+        if any(p.is_zero() for p in (s, sx, g1_pair[0], g1_pair[1])):
+            self.zero_failure = self.zero_failure or label
+            return
+        self.items.append((label, (g1_pair[1], s), (g1_pair[0], sx)))
+
+    def _use_device(self) -> bool:
+        import os
+
+        if not self.device_ok or os.environ.get("PHASE2_TPU_NO_DEVICE_PAIRING"):
+            return False
+        if 2 * len(self.items) < int(os.environ.get("PHASE2_TPU_DEVICE_PAIRING_MIN", "8")):
+            return False
+        try:
+            import jax
+
+            return jax.default_backend() != "cpu"
+        except Exception:
+            return False
+
+    def flush(self) -> str | None:
+        """Evaluate every queued check; returns the first failing label (or
+        the first zero-rejected one), None when all pass."""
+        if not self.items:
+            return self.zero_failure
+        if self._use_device():
+            import numpy as np
+
+            from ..ops import pairing_device
+
+            g1s, g2s = [], []
+            for _, left, right in self.items:
+                g1s += [left[0], right[0]]
+                g2s += [left[1], right[1]]
+            # pad to a multiple of 8 lanes (compile-cache-friendly shapes)
+            while len(g1s) % 8:
+                g1s.append(g1s[-1])
+                g2s.append(g2s[-1])
+            px, py, qx, qy = pairing_device.points_to_arrays(g1s, g2s)
+            f = np.asarray(pairing_device.batch_pairing(px, py, qx, qy))
+            for i, (label, _, _) in enumerate(self.items):
+                if not (f[2 * i] == f[2 * i + 1]).all():
+                    log.error("%s ratio mismatch", label)
+                    return label
+        else:
+            for label, (a, d), (b, c) in self.items:
+                from ..refimpl.pairing import pairing as host_pairing
+
+                if host_pairing(a, d) != host_pairing(b, c):
+                    log.error("%s ratio mismatch", label)
+                    return label
+        self.items = []
+        if self.zero_failure:
+            log.error("%s rejected: point at infinity", self.zero_failure)
+        return self.zero_failure
+
+
 class _RatioAccumulator:
     """Cross-chunk batching of power_pairs same-ratio checks.
 
@@ -211,16 +298,14 @@ def verify_transformation(
     alpha_g2_s = compute_g2_s(digest, pubkey.alpha_g1[0], pubkey.alpha_g1[1], 1)
     beta_g2_s = compute_g2_s(digest, pubkey.beta_g1[0], pubkey.beta_g1[1], 2)
 
-    # proofs of knowledge for tau/alpha/beta
-    if not same_ratio(pubkey.tau_g1, (tau_g2_s, pubkey.tau_g2)):
-        log.error("invalid tau PoK ratio")
-        return False
-    if not same_ratio(pubkey.alpha_g1, (alpha_g2_s, pubkey.alpha_g2)):
-        log.error("invalid alpha PoK ratio")
-        return False
-    if not same_ratio(pubkey.beta_g1, (beta_g2_s, pubkey.beta_g2)):
-        log.error("invalid beta PoK ratio")
-        return False
+    device_ok = getattr(backend, "name", "exact") != "exact"
+
+    # proofs of knowledge for tau/alpha/beta + header update ratios, queued
+    # into one pairing batch (device Miller loop on TPU)
+    heads = SameRatioBatch(device_ok=device_ok)
+    heads.add("tau PoK", pubkey.tau_g1, (tau_g2_s, pubkey.tau_g2))
+    heads.add("alpha PoK", pubkey.alpha_g1, (alpha_g2_s, pubkey.alpha_g2))
+    heads.add("beta PoK", pubkey.beta_g1, (beta_g2_s, pubkey.beta_g2))
 
     def head(f, compressed, check, kind, count=2):
         raw = _read_elements(f, params, kind, 0, count, compressed)
@@ -246,18 +331,12 @@ def verify_transformation(
     if a_tau_g2[0] != rc.G2_GEN:
         log.error("tau_powers_g2[0] != generator")
         return False
-    if not same_ratio((b_tau_g1[1], a_tau_g1[1]), (tau_g2_s, pubkey.tau_g2)):
-        log.error("tau update ratio mismatch")
-        return False
-    if not same_ratio((b_alpha[0], a_alpha[0]), (alpha_g2_s, pubkey.alpha_g2)):
-        log.error("alpha update ratio mismatch")
-        return False
-    if not same_ratio((b_beta[0], a_beta[0]), (beta_g2_s, pubkey.beta_g2)):
-        log.error("beta update ratio mismatch")
-        return False
-    if not same_ratio((b_beta[0], a_beta[0]), (b_beta_g2, a_beta_g2)):
-        log.error("beta_g2 update ratio mismatch")
-        return False
+    heads.add("tau update", (b_tau_g1[1], a_tau_g1[1]), (tau_g2_s, pubkey.tau_g2))
+    heads.add("alpha update", (b_alpha[0], a_alpha[0]), (alpha_g2_s, pubkey.alpha_g2))
+    heads.add("beta update", (b_beta[0], a_beta[0]), (beta_g2_s, pubkey.beta_g2))
+    heads.add("beta_g2 update", (b_beta[0], a_beta[0]), (b_beta_g2, a_beta_g2))
+    if heads.flush() is not None:
+        return False  # fail before the chunk sweep, as the reference does
 
     g2_pair = (a_tau_g2[0], a_tau_g2[1])
     g1_pair = (a_tau_g1[0], a_tau_g1[1])
@@ -302,12 +381,19 @@ def verify_transformation(
     s, sx = backend.power_pairs(seam_batch)
     accs["tau_g1"].add(-1, s, sx)  # chunk id -1 = region seam
 
+    # combined power_pairs ratios, one pairing batch for all four kinds
+    tails = SameRatioBatch(device_ok=device_ok)
     for kind, acc in accs.items():
         if kind == "tau_g2":
-            if not acc.check(g1_pair, g2_side=True):
+            tails.add_g2(f"{acc.label} power_pairs", (acc.acc_s, acc.acc_sx), g1_pair)
+        else:
+            tails.add(f"{acc.label} power_pairs", (acc.acc_s, acc.acc_sx), g2_pair)
+    if tails.flush() is not None:
+        # localize the failure: per-chunk host fallback per kind
+        for kind, acc in accs.items():
+            if not acc.check(g1_pair if kind == "tau_g2" else g2_pair, g2_side=kind == "tau_g2"):
                 return False
-        elif not acc.check(g2_pair):
-            return False
+        return False
     return True
 
 

@@ -87,9 +87,12 @@ def ntt(exp: int, coeffs: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     import os
 
     choice = os.environ.get("PHASE2_TPU_NTT", "auto")
+    # cap 26: v5e-validated (2^24/2^26 on hardware, r3); larger domains
+    # exceed single-chip HBM (2^27 needs ~26 GB of live buffers) - the S=28
+    # ceiling is served by parallel/ntt.py over the mesh
     use_pallas = (
         choice == "pallas"
-        or (choice == "auto" and jax.default_backend() != "cpu" and 10 <= exp <= 22)
+        or (choice == "auto" and jax.default_backend() != "cpu" and 10 <= exp <= 26)
     )
     if use_pallas:
         from .pallas_ntt import ntt_pallas

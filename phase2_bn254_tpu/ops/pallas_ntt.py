@@ -154,27 +154,42 @@ def _lane_dft_kernel(log2c: int, rows: int, twiddled: bool,
         o_ref[:] = ops.canon_out(ops.mont_mul(x, prog))
 
 
+def _mul_t3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Montgomery product over (16, ...) limb-first arrays (broadcasting)."""
+    return jnp.moveaxis(
+        fp.mont_mul(CTX_R, jnp.moveaxis(a, 0, -1), jnp.moveaxis(b, 0, -1)), -1, 0
+    )
+
+
+def _inter_tables_traced(log2c: int, omega_n: int, rows: int, n_tiles: int):
+    """(u (16,C) per-lane inter-twiddle bases w^k2, sf (n_tiles,16,C) start
+    factors u^(g*rows)) as TRACED device ops (log-doubling along the tile
+    axis). Big domains must not bake these in as program constants: at
+    exp=26 the sf stack is 512 MB, which blew past the remote-compile
+    request limit (HTTP 413) and made 2^24 compiles take ~20 min."""
+    c = 1 << log2c
+    u_pw = _geom_powers_t(
+        jnp.asarray(fp.int_to_limbs(CTX_R.to_mont_int(omega_n))), log2c
+    )
+    u_rows = u_pw
+    for _ in range(max(rows.bit_length() - 1, 0)):
+        u_rows = _colwise_mul(u_rows, u_rows)  # elementwise u^rows
+    sf = jnp.broadcast_to(
+        jnp.asarray(fp.int_to_limbs(CTX_R.r))[:, None, None], (NLIMBS, 1, c)
+    ).astype(U32)
+    step = u_rows[:, None, :]
+    while sf.shape[1] < n_tiles:
+        sf = jnp.concatenate([sf, _mul_t3(sf, step)], axis=1)
+        step = _mul_t3(step, step)
+    return u_pw, jnp.moveaxis(sf[:, :n_tiles], 1, 0)
+
+
 @functools.lru_cache(maxsize=None)
 def _inter_tables(log2c: int, omega_n: int, rows: int, n_tiles: int):
-    """(u (16,C) per-lane inter-twiddle bases w^k2, sf (n_tiles,16,C) start
-    factors u^(g*rows)) - host-cached numpy, built on device by log-doubling."""
+    """Host-cached constant variant of _inter_tables_traced (fast reuse for
+    the small domains where the tables are a few MB)."""
     with jax.ensure_compile_time_eval():
-        c = 1 << log2c
-        u_pw = _geom_powers_t(
-            jnp.asarray(fp.int_to_limbs(CTX_R.to_mont_int(omega_n))), log2c
-        )
-        one_col = jnp.broadcast_to(
-            jnp.asarray(fp.int_to_limbs(CTX_R.r))[:, None], (NLIMBS, c)
-        ).astype(U32)
-        u_rows = u_pw
-        for _ in range(max(rows.bit_length() - 1, 0)):
-            u_rows = _colwise_mul(u_rows, u_rows)  # elementwise u^rows
-        tiles = [one_col]
-        step = u_rows
-        while len(tiles) < n_tiles:
-            tiles = tiles + [_colwise_mul(t, step) for t in tiles]
-            step = _colwise_mul(step, step)
-        sf_all = jnp.stack(tiles[:n_tiles])  # (n_tiles, 16, C)
+        u_pw, sf_all = _inter_tables_traced(log2c, omega_n, rows, n_tiles)
         return jax.device_get(u_pw), jax.device_get(sf_all)
 
 
@@ -193,8 +208,13 @@ def _lane_dft_pass(x3: jnp.ndarray, log2c: int, omega: int,
     s_stages = tw.shape[0]
     twiddled = omega_n is not None
     if twiddled:
-        u_np, sf_np = _inter_tables(log2c, omega_n, rows, grid[0])
-        u_in, sf_all = jnp.asarray(u_np), jnp.asarray(sf_np)
+        if grid[0] * NLIMBS * c * 4 <= (32 << 20):
+            u_np, sf_np = _inter_tables(log2c, omega_n, rows, grid[0])
+            u_in, sf_all = jnp.asarray(u_np), jnp.asarray(sf_np)
+        else:
+            # big domains: build on device per call instead of baking a
+            # multi-hundred-MB constant into the program
+            u_in, sf_all = _inter_tables_traced(log2c, omega_n, rows, grid[0])
     else:
         sf_all = jnp.zeros((grid[0], NLIMBS, c), U32)
         u_in = jnp.zeros((NLIMBS, c), U32)
@@ -213,6 +233,9 @@ def _lane_dft_pass(x3: jnp.ndarray, log2c: int, omega: int,
         ],
         out_specs=pl.BlockSpec((NLIMBS, rows, c), lambda g: (0, g, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((NLIMBS, r_total, c), U32),
+        # C=8192 lanes (exp>=25) put the stage table + tile + temps over the
+        # default 16M scoped window; v5e VMEM is 128M
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(p_col, tw, u_in, sf_all, x3)
 
@@ -260,9 +283,12 @@ def ntt_pallas(exp: int, coeffs: jnp.ndarray, inverse: bool) -> jnp.ndarray:
 
 
 def _rows_per_tile(log2_rows_total: int, log2_lanes: int) -> int:
-    """Pick the sublane tile height: keep each (16, rows, C) block <= ~1 MiB
-    (in+out+double-buffering stays well under VMEM), minimum 8 sublanes."""
+    """Pick the sublane tile height: keep each (16, rows, C) block <= ~4 MiB
+    (mont temps fit the raised 100M scoped-VMEM window), minimum 8 sublanes.
+    Bigger tiles matter beyond exp=22: tile count drives both the
+    inter-twiddle start-factor stack (one concat per tile at trace time -
+    512 tiles made the 2^24 XLA compile take ~24 min) and grid overhead."""
     total = 1 << log2_rows_total
-    budget = (1 << 20) // (NLIMBS * (1 << log2_lanes) * 4)
+    budget = (4 << 20) // (NLIMBS * (1 << log2_lanes) * 4)
     rows = max(8, 1 << max(budget.bit_length() - 1, 0))
     return min(rows, total)

@@ -33,33 +33,74 @@ def main():
     vals = np.stack(
         [fp.int_to_limbs(ntt.CTX_R.to_mont_int(rnd.randrange(ntt.CTX_R.p))) for _ in range(block)]
     )
-    coeffs = jnp.asarray(np.tile(vals, (n // block, 1)))
+    # exp >= 25: donate the input buffer (the four-step intermediates plus a
+    # live input don't fit 16 GB HBM at 2^26); coeffs are recreated per rep
+    donate = exp >= 25
+    fwd = jax.jit(lambda c: ntt.ntt(exp, c, inverse=False), donate_argnums=0 if donate else ())
+    inv = jax.jit(lambda c: ntt.ntt(exp, c, inverse=True), donate_argnums=0 if donate else ())
 
-    fwd = jax.jit(lambda c: ntt.ntt(exp, c, inverse=False))
-    inv = jax.jit(lambda c: ntt.ntt(exp, c, inverse=True))
+    def make_coeffs():
+        return jnp.asarray(np.tile(vals, (n // block, 1)))
+
+    coeffs = None if donate else make_coeffs()
 
     def sync(out):
         # a host pull of one element is the only reliable completion barrier
         # through the remote-TPU tunnel (block_until_ready can ack early)
         np.asarray(out[:1])
 
+    def arg():
+        return make_coeffs() if donate else coeffs
+
     t0 = time.time()
-    sync(fwd(coeffs))
-    print(f"compile+first fwd: {time.time()-t0:.2f} s")
+    sync(fwd(arg()))
+    print(f"compile+first fwd: {time.time()-t0:.2f} s", flush=True)
     t0 = time.time()
-    sync(inv(coeffs))
-    print(f"compile+first inv: {time.time()-t0:.2f} s")
+    sync(inv(arg()))
+    print(f"compile+first inv: {time.time()-t0:.2f} s", flush=True)
 
     for name, f in (("ntt", fwd), ("intt", inv)):
         best = float("inf")
         for _ in range(reps):
+            a = arg()
             t0 = time.time()
-            sync(f(coeffs))
+            sync(f(a))
             best = min(best, time.time() - t0)
         print(
             f"{name} 2^{exp}: {best*1e3:.1f} ms steady "
-            f"({n/best/1e6:.1f} Mpoint/s) on {jax.default_backend()}"
+            f"({n/best/1e6:.1f} Mpoint/s) on {jax.default_backend()}",
+            flush=True,
         )
+
+    if "--check" in sys.argv:
+        # value validation at sizes where a host NTT is hopeless: DFT of the
+        # geometric sequence a_j = g^j has the closed form
+        # out[k] = (g^N - 1) * (g*w^k - 1)^-1 mod r (since (w^k)^N = 1)
+        R = ntt.CTX_R
+        g = rnd.randrange(2, R.p)
+
+        @jax.jit
+        def geom():
+            out = jnp.asarray(fp.int_to_limbs(R.to_mont_int(1)))[None]
+            for j in range(exp):
+                step = jnp.asarray(fp.int_to_limbs(R.to_mont_int(pow(g, 1 << j, R.p))))
+                out = jnp.concatenate([out, fp.mont_mul(R, out, step[None])], axis=0)
+            return out
+
+        seq = geom()
+        got = fwd(seq)
+        d = ntt.Domain(exp)
+        num = (pow(g, n, R.p) - 1) % R.p
+        ok = True
+        for k in [0, 1, n // 2, n - 1] + [rnd.randrange(n) for _ in range(4)]:
+            wk = pow(d.omega, k, R.p)
+            want = num * pow((g * wk - 1) % R.p, R.p - 2, R.p) % R.p
+            got_k = R.from_mont_int(fp.limbs_to_int(np.asarray(got[k])))
+            if got_k != want:
+                print(f"MISMATCH at k={k}: got {got_k} want {want}")
+                ok = False
+        print("closed-form check:", "OK" if ok else "FAILED")
+        assert ok
 
 
 if __name__ == "__main__":

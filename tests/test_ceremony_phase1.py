@@ -54,3 +54,36 @@ def test_tampered_response_rejected(tmp_path):
     open(r1, "wb").write(bytes(data))
     with pytest.raises(ValueError):
         verify_transform(c1, r1, c2, SIZE, BATCH, backend=JaxBackend())
+
+
+def test_same_ratio_batch_semantics():
+    """SameRatioBatch (host path) matches same_ratio per check, including
+    zero rejection and the swapped-side G2 variant."""
+    import random
+
+    from phase2_bn254_tpu.ceremony.accumulator import SameRatioBatch
+    from phase2_bn254_tpu.refimpl import curve as rc
+    from phase2_bn254_tpu.refimpl.field import R_MOD
+
+    random.seed(41)
+    x = random.randrange(2, R_MOD)
+    a = rc.G1_GEN.mul(random.randrange(1, R_MOD))
+    c = rc.G2_GEN.mul(random.randrange(1, R_MOD))
+
+    b = SameRatioBatch(device_ok=False)
+    b.add("ok", (a, a.mul(x)), (c, c.mul(x)))
+    b.add_g2("ok-g2", (c, c.mul(x)), (a, a.mul(x)))
+    assert b.flush() is None
+
+    b = SameRatioBatch(device_ok=False)
+    b.add("ok", (a, a.mul(x)), (c, c.mul(x)))
+    b.add("bad", (a, a.mul(x)), (c, c.mul(x + 1)))
+    assert b.flush() == "bad"
+
+    b = SameRatioBatch(device_ok=False)
+    b.add("zero", (a, rc.point_zero("g1")), (c, c.mul(x)))
+    assert b.flush() == "zero"
+
+    b = SameRatioBatch(device_ok=False)
+    b.add_g2("bad-g2", (c, c.mul(x + 1)), (a, a.mul(x)))
+    assert b.flush() == "bad-g2"

@@ -8,10 +8,12 @@ spec byte for byte (the parity surface of
 /root/reference/powersoftau/test.sh).
 
 Gated behind PHASE2_TPU_SLOW_TESTS=1: XLA:CPU compiles each 8-way-partitioned
-shard_map program in ~100 s (persistent compile cache is unusable on CPU -
-see conftest), so the full round costs >30 min of pure compilation. The
-sharded kernels themselves are covered in the default suite by
-test_parallel.py; this module is the byte-parity sweep for the whole round
+shard_map program in ~100 s; the persistent test compile cache (conftest,
+re-enabled 2026-08-17) makes warm reruns much cheaper, but a cold run still
+costs >30 min of compilation. The sharded kernels themselves are covered in
+the default suite by test_parallel.py, and the 2-process multi-host e2e
+contribute byte-parity runs in the default suite (test_multihost.py); this
+module is the byte-parity sweep for the whole round including verify
 (run it after changes to parallel/backend.py or parallel/sharded.py).
 """
 
