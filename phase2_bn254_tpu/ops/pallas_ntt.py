@@ -161,12 +161,17 @@ def _mul_t3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _inter_tables_traced(log2c: int, omega_n: int, rows: int, n_tiles: int):
+def _inter_tables_traced(log2c: int, omega_n: int, rows: int, n_tiles: int, scale: int = 1):
     """(u (16,C) per-lane inter-twiddle bases w^k2, sf (n_tiles,16,C) start
-    factors u^(g*rows)) as TRACED device ops (log-doubling along the tile
-    axis). Big domains must not bake these in as program constants: at
+    factors scale * u^(g*rows)) as TRACED device ops (log-doubling along the
+    tile axis). Big domains must not bake these in as program constants: at
     exp=26 the sf stack is 512 MB, which blew past the remote-compile
-    request limit (HTTP 413) and made 2^24 compiles take ~20 min."""
+    request limit (HTTP 413) and made 2^24 compiles take ~20 min.
+
+    `scale` (canonical int) multiplies every start factor - the iNTT's 1/m
+    folds in here so every output is scaled exactly once through the linear
+    second pass, instead of a whole-array post-multiply (whose extra buffer
+    pushed the 2^26 iNTT 2 GB past HBM)."""
     c = 1 << log2c
     u_pw = _geom_powers_t(
         jnp.asarray(fp.int_to_limbs(CTX_R.to_mont_int(omega_n))), log2c
@@ -175,7 +180,8 @@ def _inter_tables_traced(log2c: int, omega_n: int, rows: int, n_tiles: int):
     for _ in range(max(rows.bit_length() - 1, 0)):
         u_rows = _colwise_mul(u_rows, u_rows)  # elementwise u^rows
     sf = jnp.broadcast_to(
-        jnp.asarray(fp.int_to_limbs(CTX_R.r))[:, None, None], (NLIMBS, 1, c)
+        jnp.asarray(fp.int_to_limbs(CTX_R.to_mont_int(scale)))[:, None, None],
+        (NLIMBS, 1, c),
     ).astype(U32)
     step = u_rows[:, None, :]
     while sf.shape[1] < n_tiles:
@@ -185,20 +191,22 @@ def _inter_tables_traced(log2c: int, omega_n: int, rows: int, n_tiles: int):
 
 
 @functools.lru_cache(maxsize=None)
-def _inter_tables(log2c: int, omega_n: int, rows: int, n_tiles: int):
+def _inter_tables(log2c: int, omega_n: int, rows: int, n_tiles: int, scale: int = 1):
     """Host-cached constant variant of _inter_tables_traced (fast reuse for
     the small domains where the tables are a few MB)."""
     with jax.ensure_compile_time_eval():
-        u_pw, sf_all = _inter_tables_traced(log2c, omega_n, rows, n_tiles)
+        u_pw, sf_all = _inter_tables_traced(log2c, omega_n, rows, n_tiles, scale)
         return jax.device_get(u_pw), jax.device_get(sf_all)
 
 
 def _lane_dft_pass(x3: jnp.ndarray, log2c: int, omega: int,
-                   omega_n: int | None, rows_per_tile: int) -> jnp.ndarray:
+                   omega_n: int | None, rows_per_tile: int,
+                   scale: int = 1) -> jnp.ndarray:
     """Run the lane-DFT kernel over x3 (16, R, C); DFT along the last axis.
 
     omega_n: base of the four-step inter-twiddle w^(j1*k2) (None = plain
-    pass)."""
+    pass). scale: extra factor folded into the inter-twiddle start factors
+    (the iNTT's 1/m)."""
     _, r_total, c = x3.shape
     assert c == 1 << log2c
     rows = min(rows_per_tile, r_total)
@@ -209,12 +217,12 @@ def _lane_dft_pass(x3: jnp.ndarray, log2c: int, omega: int,
     twiddled = omega_n is not None
     if twiddled:
         if grid[0] * NLIMBS * c * 4 <= (32 << 20):
-            u_np, sf_np = _inter_tables(log2c, omega_n, rows, grid[0])
+            u_np, sf_np = _inter_tables(log2c, omega_n, rows, grid[0], scale)
             u_in, sf_all = jnp.asarray(u_np), jnp.asarray(sf_np)
         else:
             # big domains: build on device per call instead of baking a
             # multi-hundred-MB constant into the program
-            u_in, sf_all = _inter_tables_traced(log2c, omega_n, rows, grid[0])
+            u_in, sf_all = _inter_tables_traced(log2c, omega_n, rows, grid[0], scale)
     else:
         sf_all = jnp.zeros((grid[0], NLIMBS, c), U32)
         u_in = jnp.zeros((NLIMBS, c), U32)
@@ -260,10 +268,14 @@ def ntt_pallas(exp: int, coeffs: jnp.ndarray, inverse: bool) -> jnp.ndarray:
 
     # M[j2, j1] = a[j1 + R*j2]  ->  limb-major (16, R=j1, C=j2)
     x1 = jnp.moveaxis(coeffs.reshape(c, r, NLIMBS), 2, 0).transpose(0, 2, 1)
-    # pass 1: DFT_C over j2 (lanes), + inter-twiddle w^(j1*k2)
+    # pass 1: DFT_C over j2 (lanes), + inter-twiddle w^(j1*k2); the iNTT's
+    # 1/m folds into the start factors (the second pass is linear, so every
+    # output is scaled exactly once - a whole-array post-multiply would
+    # cost an extra N-sized buffer, 2 GB past HBM at 2^26)
+    scale = d.minv if inverse and log2r > 0 else 1
     x1 = x1[:, :, jnp.asarray(_bitrev(log2c))]
     rows1 = _rows_per_tile(log2r, log2c)
-    b = _lane_dft_pass(x1, log2c, w_c, w, rows1)  # (16, j1, k2)
+    b = _lane_dft_pass(x1, log2c, w_c, w, rows1, scale)  # (16, j1, k2)
 
     # pass 2: DFT_R over j1 (lanes)
     x2 = b.transpose(0, 2, 1)  # (16, k2, j1)
@@ -275,7 +287,7 @@ def ntt_pallas(exp: int, coeffs: jnp.ndarray, inverse: bool) -> jnp.ndarray:
         out_m = _lane_dft_pass(x2, log2r, w_r, None, rows2)  # (16, k2, k1)
 
     out = out_m.transpose(2, 1, 0).reshape(n, NLIMBS)  # (k1, k2) row-major
-    if inverse:
+    if inverse and log2r == 0:
         out = fp.mont_mul(
             CTX_R, out, jnp.asarray(fp.int_to_limbs(CTX_R.to_mont_int(d.minv)))
         )
