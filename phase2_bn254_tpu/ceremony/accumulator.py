@@ -203,6 +203,29 @@ class SameRatioBatch:
         if not self.items:
             return self.zero_failure
         if self._use_device():
+            failing = self._flush_device()
+            if failing is not None:
+                # A device false negative (kernel regression or transient
+                # tunnel failure) must not reject a valid contribution: the
+                # host pairings are the spec layer, and re-checking the
+                # queued items is cheap (<= ~11 pairings) (ADVICE r3).
+                log.warning(
+                    "device pairing batch flagged %s; re-checking on host", failing
+                )
+                failing = self._flush_host()
+        else:
+            failing = self._flush_host()
+        if failing is not None:
+            return failing
+        self.items = []
+        if self.zero_failure:
+            log.error("%s rejected: point at infinity", self.zero_failure)
+        return self.zero_failure
+
+    def _flush_device(self) -> str | None:
+        """One batched device Miller loop over all queued pairings; returns
+        the first failing label, '__device_error__' on kernel failure."""
+        try:
             import numpy as np
 
             from ..ops import pairing_device
@@ -219,19 +242,21 @@ class SameRatioBatch:
             f = np.asarray(pairing_device.batch_pairing(px, py, qx, qy))
             for i, (label, _, _) in enumerate(self.items):
                 if not (f[2 * i] == f[2 * i + 1]).all():
-                    log.error("%s ratio mismatch", label)
+                    log.error("%s ratio mismatch (device)", label)
                     return label
-        else:
-            for label, (a, d), (b, c) in self.items:
-                from ..refimpl.pairing import pairing as host_pairing
+            return None
+        except Exception as e:  # degrade to host pairings, don't propagate
+            log.warning("device pairing batch raised %s: %s", type(e).__name__, e)
+            return "__device_error__"
 
-                if host_pairing(a, d) != host_pairing(b, c):
-                    log.error("%s ratio mismatch", label)
-                    return label
-        self.items = []
-        if self.zero_failure:
-            log.error("%s rejected: point at infinity", self.zero_failure)
-        return self.zero_failure
+    def _flush_host(self) -> str | None:
+        from ..refimpl.pairing import pairing as host_pairing
+
+        for label, (a, d), (b, c) in self.items:
+            if host_pairing(a, d) != host_pairing(b, c):
+                log.error("%s ratio mismatch", label)
+                return label
+        return None
 
 
 class _RatioAccumulator:

@@ -78,7 +78,39 @@ def participant_rng(entropy: str, system_entropy: bytes | None = None) -> ChaCha
     h = hashlib.blake2b()
     h.update(system_entropy)
     h.update(entropy.encode())
-    return ChaChaRng.from_digest_be(h.digest())
+    return ChaChaRng.from_digest_be(_shared_seed_digest(h.digest()))
+
+
+def _multihost_env() -> bool:
+    return bool(
+        os.environ.get("PHASE2_TPU_COORDINATOR")
+        or os.environ.get("PHASE2_TPU_AUTO_DISTRIBUTED")
+    )
+
+
+def _shared_seed_digest(digest: bytes) -> bytes:
+    """Multi-host contribute: all processes must derive the SAME keypair
+    (the collectives compute one participant's tau powers), so the
+    coordinator's FINAL Blake2b seed digest is broadcast to the process
+    group - one participant == one pod, a single trust domain. Broadcasting
+    the digest (not just the OS entropy) also covers the user-text entropy,
+    which can differ per process (interactive stdin / per-process --entropy).
+    Single-process (no multihost env config): identity, no JAX touched."""
+    if not _multihost_env():
+        return digest
+    from ..parallel import multihost
+
+    multihost.init_distributed()
+    import jax
+
+    if jax.process_count() == 1:
+        return digest
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    mine = np.frombuffer(digest, dtype=np.uint8)
+    shared = multihost_utils.broadcast_one_to_all(mine)
+    return bytes(np.asarray(shared))
 
 
 def beacon_rng(beacon_hash_hex: str, iterations_exp: int, progress: bool = True) -> ChaChaRng:
@@ -98,14 +130,18 @@ def _out_path(path: str) -> str:
     """Multi-host runs: every process executes the same program (collectives
     must stay aligned) and produces the same bytes, but only the coordinator
     owns the REAL output file; other processes write to per-process scratch
-    (removed by _finish_out). Single-process: identity."""
-    try:
-        import jax
+    (removed by _finish_out). Single-process: identity.
 
-        if jax.process_count() > 1 and jax.process_index() != 0:
-            return f"{path}.proc{jax.process_index()}.scratch"
-    except Exception:
-        pass
+    Gated on the multihost env config rather than a broad try/except around
+    jax.process_count(): a swallowed error in a partially initialized
+    distributed state would silently send every process to the SAME real
+    path, corrupting the output file (ADVICE r3)."""
+    if not _multihost_env():
+        return path
+    import jax
+
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return f"{path}.proc{jax.process_index()}.scratch"
     return path
 
 
@@ -262,26 +298,10 @@ def main_compute(argv=None):
     if entropy is None:
         print("Type some random text and press [ENTER] to provide additional entropy...")
         entropy = sys.stdin.readline()
-    rng = participant_rng(entropy, system_entropy=_shared_system_entropy())
+    # participant_rng broadcasts the coordinator's final seed digest when a
+    # multi-host process group is configured (covers OS + user entropy).
+    rng = participant_rng(entropy)
     contribute(a.challenge_file, a.response_file, a.circuit_power, a.batch_size, rng)
-
-
-def _shared_system_entropy() -> bytes | None:
-    """Multi-host contribute: all processes must derive the SAME keypair
-    (the collectives compute one participant's tau powers), so the
-    coordinator's OS entropy is broadcast to the process group - one
-    participant == one pod, a single trust domain. Single-process: None
-    (plain os.urandom inside participant_rng)."""
-    import jax
-
-    if jax.process_count() == 1:
-        return None
-    import numpy as np
-    from jax.experimental import multihost_utils
-
-    mine = np.frombuffer(os.urandom(1024), dtype=np.uint8)
-    shared = multihost_utils.broadcast_one_to_all(mine)
-    return bytes(np.asarray(shared))
 
 
 def main_beacon(argv=None):
