@@ -237,6 +237,15 @@ class JaxBackend:
 
         Pippenger for real sizes; tiny inputs use the naive ladder (the
         Pippenger fixed overhead of 2^c buckets isn't worth it below ~64)."""
+        return self.msm_wait(self.msm_async(ps, scalars))
+
+    def msm_async(self, ps: PointSet, scalars: list[int]):
+        """Dispatch an MSM without pulling the result: returns a handle for
+        msm_wait. The device affine output stays async, so a caller with
+        several independent MSMs (the prover's 7+1 query multiexps,
+        /root/reference/bellman/src/groth16/prover.rs:276-334 future joins)
+        queues all kernels back-to-back instead of paying one host
+        round-trip per query (VERDICT r3 item 7)."""
         assert len(scalars) == ps.n
         target = _next_pow2(ps.n)
         padded = _pad_batch(ps.batch, ps.group, target)
@@ -267,7 +276,11 @@ class JaxBackend:
             out = _normalize_kernel(f, jax.tree.map(lambda a: a[None], jac))
         else:
             out = _msm_kernel(f, padded, jnp.asarray(sc))
-        return codecs.batch_to_points(out, ps.group)[0]
+        return (out, ps.group)
+
+    def msm_wait(self, handle):
+        out, group = handle
+        return codecs.batch_to_points(out, group)[0]
 
     def power_pairs(self, ps: PointSet):
         """(merge_pairs of v[:-1] vs v[1:]) with shared random coefficients."""

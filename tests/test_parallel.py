@@ -75,3 +75,20 @@ def test_sharded_msm_matches_host(mesh):
     for p, s in zip(pts, scalars):
         acc = acc.add(p.mul(s))
     assert got == acc
+
+
+def test_sharded_msm_pallas_path(mesh, monkeypatch):
+    # The production multi-chip TPU MSM path (_msm_local_pallas: per-shard
+    # Mosaic wave/suffix/combine pipeline, VERDICT r3 item 2) through the
+    # Pallas interpreter on the CPU mesh; value vs host reference.
+    monkeypatch.setenv("PHASE2_TPU_SHARDED_MSM", "pallas")
+    n = 1 << 11  # 256/device => c=8 from pallas pick_window
+    P = rc.G1_GEN.mul(random.randrange(1, R_MOD))
+    pts = [P.mul(i + 1) for i in range(n)]
+    scalars = [random.randrange(R_MOD) for _ in range(n)]
+    batch = codecs.points_to_batch(pts, "g1")
+    sc = jnp.asarray(np.stack([fp.int_to_limbs(s) for s in scalars]))
+    out = sharded.sharded_msm(mesh, "g1", batch, sc)
+    got = codecs.batch_to_points(out, "g1")[0]
+    total = sum((i + 1) * s for i, s in enumerate(scalars)) % R_MOD
+    assert got == P.mul(total)
