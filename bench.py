@@ -55,12 +55,13 @@ def _remaining() -> float:
     return BUDGET_S - (time.time() - T_PROC0)
 
 
-def _device_watchdog(timeout_s: float = 300.0) -> bool:
-    """True if the device answers a trivial computation within timeout.
+def _device_watchdog() -> bool:
+    """True once the device answers a trivial computation.
 
-    The remote axon TPU tunnel can wedge (every op then hangs forever);
-    without this guard a wedged tunnel would hang the whole bench run.
-    This first op also performs the (90-170 s) one-time backend init."""
+    The remote axon TPU tunnel can wedge (every op then hangs forever) and
+    recover minutes later; probes retry until ~40% of the budget is burned.
+    The first successful op also performs the (90-250 s) one-time backend
+    init, so a generous per-probe timeout is the norm, not the exception."""
     import threading
 
     ok = []
@@ -72,10 +73,40 @@ def _device_watchdog(timeout_s: float = 300.0) -> bool:
         np.asarray(jnp.ones((8, 8)) * 2)
         ok.append(True)
 
+    deadline = T_PROC0 + min(0.4 * BUDGET_S, 420.0)
     t = threading.Thread(target=probe, daemon=True)
     t.start()
-    t.join(timeout_s)
+    while time.time() < deadline:
+        t.join(min(30.0, max(1.0, deadline - time.time())))
+        if ok:
+            return True
     return bool(ok)
+
+
+def _run_with_timeout(fn, timeout_s: float):
+    """Run fn in a worker thread; raises TimeoutError if it doesn't finish.
+
+    A tunnel wedge MID-BENCH would otherwise hang the process with the
+    scoreboard stuck at whatever was last emitted; the worker thread is
+    abandoned (daemon) and the caller stops scheduling further metrics."""
+    import threading
+
+    result, error = [], []
+
+    def work():
+        try:
+            result.append(fn())
+        except BaseException as e:  # noqa: BLE001 - reported to the board
+            error.append(e)
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if result:
+        return result[0]
+    if error:
+        raise error[0]
+    raise TimeoutError(f"metric did not finish within {round(timeout_s)}s (tunnel wedge?)")
 
 
 def _exp_roofline(pts_per_s, muls_per_exp):
@@ -266,8 +297,14 @@ def main():
         emit()
         return
 
+    hung = []
+
     def add(name, unit, fn, vs=None, roofline=None, est_cost_s=60.0):
         """Run one metric if it fits the remaining budget; re-emit the board."""
+        if hung:
+            metrics.append({"name": name, "skipped": "tunnel wedged on an earlier metric"})
+            emit()
+            return None
         if _remaining() < est_cost_s:
             metrics.append(
                 {"name": name, "skipped": f"budget ({round(_remaining())}s left, needs ~{round(est_cost_s)}s)"}
@@ -277,7 +314,7 @@ def main():
             return None
         try:
             t0 = time.time()
-            value = fn()
+            value = _run_with_timeout(fn, min(_remaining(), max(est_cost_s * 3.0, 240.0)))
             extra = {}
             if isinstance(value, tuple):
                 value, extra["spread_pct"] = value
@@ -294,6 +331,8 @@ def main():
         except Exception as e:  # one failed metric must not kill the board
             metrics.append({"name": name, "error": f"{type(e).__name__}: {e}"})
             print(f"# {name} FAILED: {e}", file=sys.stderr, flush=True)
+            if isinstance(e, TimeoutError):
+                hung.append(name)  # wedged tunnel: stop scheduling metrics
             emit()
             return None
 
