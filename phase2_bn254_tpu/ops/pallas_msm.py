@@ -114,13 +114,19 @@ def jac_madd(ops, P, qx, qy, q_valid, one):
 # ---------------------------------------------------------------------------
 
 
-def _wave_kernel(pprime, comps, pack, p_ref, one_ref, valid_ref, wave_ref, *out_refs):
+def _wave_kernel(pprime, comps, pack, kt, p_ref, one_ref, valid_ref, wave_ref, *out_refs):
     """Grid (bucket tiles, W); out refs hold the bucket accumulators and are
     revisited across the wave dimension (index map drops it). wave_ref packs
     `pack` consecutive sorted points, each x||y (component-major) on the
     sublane axis: ONE row gather feeds `pack` madds (TPU gathers are
     per-row-overhead-bound at ~21-25 M rows/s, so packing divides the
-    dominant gather cost by `pack` - VERDICT r3 item 3)."""
+    dominant gather cost by `pack` - VERDICT r3 item 3).
+
+    kt ("kernel transpose"): wave_ref/valid_ref arrive in the gather's
+    natural (W, B, row) layout and are transposed to (row, B) in VMEM,
+    saving the per-window XLA transpose's HBM round-trip (~2x the payload
+    traffic per window). Requires the packed row width to be lane-aligned
+    (multiple of 128 columns)."""
     k = pl.program_id(1)
     base = TOps(p_ref[:], pprime, lazy=True)
     one_b = one_ref[:]
@@ -145,18 +151,23 @@ def _wave_kernel(pprime, comps, pack, p_ref, one_ref, valid_ref, wave_ref, *out_
             (out_refs[4][:], out_refs[5][:]),
         )
 
+    if kt:
+        wave_t = jnp.transpose(wave_ref[0])  # (btile, row) -> (row, btile)
+        valid_t = jnp.transpose(valid_ref[0])  # (btile, pack) -> (pack, btile)
+    else:
+        wave_t, valid_t = wave_ref[0], valid_ref[0]
     for j in range(pack):
         off = j * 2 * comps * nl
         if comps == 1:
-            qx = wave_ref[0, off : off + nl]
-            qy = wave_ref[0, off + nl : off + 2 * nl]
+            qx = wave_t[off : off + nl]
+            qy = wave_t[off + nl : off + 2 * nl]
         else:
-            qx = (wave_ref[0, off : off + nl], wave_ref[0, off + nl : off + 2 * nl])
+            qx = (wave_t[off : off + nl], wave_t[off + nl : off + 2 * nl])
             qy = (
-                wave_ref[0, off + 2 * nl : off + 3 * nl],
-                wave_ref[0, off + 3 * nl : off + 4 * nl],
+                wave_t[off + 2 * nl : off + 3 * nl],
+                wave_t[off + 3 * nl : off + 4 * nl],
             )
-        valid = valid_ref[0, j : j + 1] != 0  # (1, Btile) mask
+        valid = valid_t[j : j + 1] != 0  # (1, Btile) mask
         acc = jac_madd(ops, acc, qx, qy, valid, one)
 
     x, y, z = acc
@@ -168,26 +179,43 @@ def _wave_kernel(pprime, comps, pack, p_ref, one_ref, valid_ref, wave_ref, *out_
         out_refs[4][:], out_refs[5][:] = z
 
 
-def _wave_accumulate(comps, pack, wave_packed, valid, btile: int):
+def _wave_accumulate(comps, pack, wave_packed, valid, btile: int, kt: bool = False):
     """wave_packed: uint32[W, pack*2*comps*NL, B] (pack consecutive sorted
     points, each x||y component-major, stacked on sublanes); valid:
-    int32[W, pack, B]. Returns 3*comps bucket planes uint32[NL, B]."""
-    w_cap, packed_nl, b = wave_packed.shape
+    int32[W, pack, B]. Returns 3*comps bucket planes uint32[NL, B].
+
+    kt: arrays arrive untransposed - wave_packed uint32[W, B, pack*2*comps*NL]
+    and valid int32[W, B, pack], exactly as the XLA row gather produces them;
+    the kernel transposes each VMEM tile instead (no HBM transpose pass)."""
+    if kt:
+        w_cap, b, packed_nl = wave_packed.shape
+    else:
+        w_cap, packed_nl, b = wave_packed.shape
     nl = packed_nl // (pack * 2 * comps)
     btile = min(btile, b)
     assert b % btile == 0
     grid = (b // btile, w_cap)
     spec_const = pl.BlockSpec((nl, btile), lambda j, k: (0, 0), memory_space=pltpu.VMEM)
-    spec_wave = pl.BlockSpec(
-        (1, packed_nl, btile), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM
-    )
-    spec_valid = pl.BlockSpec((1, pack, btile), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM)
+    if kt:
+        spec_wave = pl.BlockSpec(
+            (1, btile, packed_nl), lambda j, k: (k, j, 0), memory_space=pltpu.VMEM
+        )
+        spec_valid = pl.BlockSpec(
+            (1, btile, pack), lambda j, k: (k, j, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        spec_wave = pl.BlockSpec(
+            (1, packed_nl, btile), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM
+        )
+        spec_valid = pl.BlockSpec(
+            (1, pack, btile), lambda j, k: (k, 0, j), memory_space=pltpu.VMEM
+        )
     spec_out = pl.BlockSpec((nl, btile), lambda j, k: (0, j), memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((nl, b), U32)] * (3 * comps)
     p_col = jnp.broadcast_to(jnp.asarray(_P_LIMBS, U32)[:, None], (nl, btile))
     one_col = jnp.broadcast_to(jnp.asarray(_ONE_MONT, U32)[:, None], (nl, btile))
     return pl.pallas_call(
-        functools.partial(_wave_kernel, _PPRIME, comps, pack),
+        functools.partial(_wave_kernel, _PPRIME, comps, pack, kt),
         grid=grid,
         in_specs=[spec_const, spec_const, spec_valid, spec_wave],
         out_specs=[spec_out] * (3 * comps),
@@ -323,12 +351,27 @@ def _window_groups(c: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnums=(2,))
 def _prep_windows(scalars_canon, inf_mask, c: int):
-    """Digits + per-window argsort + bucket boundaries. Returns (orders,
-    starts, counts, max_occ): (nwin, N), (nwin, B), (nwin, B), ().
-    max_occ already accounts for the per-window group factors."""
+    """Digits + per-window sort + bucket boundaries. Returns (orders, starts,
+    counts, dstars, occs): (nwin, N), (nwin, B), (nwin, B), (nwin,), int32[2].
+
+    All windows sort in ONE batched variadic sort (unstable: bucket
+    membership is all that matters, bucket sums are value-independent of add
+    order, and the affine normalize at the end makes output bytes unique).
+    A lax.scan of per-window argsorts measured ~35x slower than the batched
+    sort on v5e (~50 ms vs 1.4 ms per window at 2^20) - the r3 "argsort is
+    half the MSM" cost was really the scan structure, not the sort.
+
+    dstars[w] = the heaviest nonzero bucket of window w; occs = max bucket
+    occupancy [including, excluding] the heaviest bucket, both already
+    divided by the per-window group factors. The dispatcher uses occ[1] to
+    keep the dense wave grid small under single-hot-bucket skew (repeated
+    scalar values - the multiexp.rs:95-102 scalar==one special case
+    generalized to any constant): the hot bucket is summed separately by a
+    dense pass and folded in with weight dstar at window-combine time."""
     from . import msm as msm_mod
 
     n_windows = -(-SCALAR_BITS // c)
+    n = scalars_canon.shape[0]
     all_digits = jnp.stack(
         [
             jnp.where(inf_mask, 0, msm_mod._window_digits(scalars_canon, c, w)).astype(
@@ -339,23 +382,21 @@ def _prep_windows(scalars_canon, inf_mask, c: int):
     )
     b = 1 << c
     bucket_ids = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
-
-    def per_window(_, digits):
-        # unstable sort: bucket membership is all that matters (bucket sums
-        # are value-independent of add order, and the affine normalize at
-        # the end makes output bytes unique), and XLA's unstable TPU sort is
-        # measurably cheaper than the stable default
-        order = jnp.argsort(digits, stable=False)
-        sd = digits[order]
-        starts = jnp.searchsorted(sd, bucket_ids, side="left")
-        ends = jnp.searchsorted(sd, bucket_ids, side="right")
-        counts = (ends - starts).astype(jnp.int32)
-        return None, (order.astype(jnp.int32), starts.astype(jnp.int32), counts)
-
-    _, (orders, starts, counts) = jax.lax.scan(per_window, None, all_digits)
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (n_windows, n))
+    sorted_d, orders = jax.lax.sort(
+        (all_digits, iota), dimension=1, num_keys=1, is_stable=False
+    )
+    starts = jax.vmap(lambda sd: jnp.searchsorted(sd, bucket_ids, side="left"))(sorted_d)
+    ends = jax.vmap(lambda sd: jnp.searchsorted(sd, bucket_ids, side="right"))(sorted_d)
+    counts = (ends - starts).astype(jnp.int32)
     gs = jnp.asarray(_window_groups(c))[:, None]
-    occ = -(-jnp.where(bucket_ids[None, :] == 0, 0, counts) // gs)
-    return orders, starts, counts, jnp.max(occ)
+    counts_nz = jnp.where(bucket_ids[None, :] == 0, 0, counts)
+    dstars = jnp.argmax(counts_nz, axis=1).astype(jnp.int32)
+    occ_all = jnp.max(-(-counts_nz // gs))
+    counts2 = jnp.where(bucket_ids[None, :] == dstars[:, None], 0, counts_nz)
+    occ2 = jnp.max(-(-counts2 // gs))
+    occs = jnp.stack([occ_all, occ2]).astype(jnp.int32)
+    return orders, starts.astype(jnp.int32), counts, dstars, occs
 
 
 def _packed_rows(batch: G.AffineBatch, comps: int):
@@ -373,11 +414,22 @@ def _packed_rows(batch: G.AffineBatch, comps: int):
 # ---------------------------------------------------------------------------
 
 
-def _combine_kernel(pprime, comps, c, p_ref, one_ref, sums_ref, *out_refs):
+def _combine_kernel(pprime, comps, c, exclude, p_ref, one_ref, sums_ref, *rest):
     """sums_ref: (nwin, 3*comps*NL, 128) canonical window sums, MSB first.
     c doublings + one add per window, fori-rolled, 128 lanes wide (lane 0
     carries the value; doing this on the 1-lane XLA path cost ~90 ms/window
-    in tiny op dispatches)."""
+    in tiny op dispatches).
+
+    With `exclude` (single-hot-bucket skew split): rest leads with
+    sums2_ref (nwin, 3*comps*NL, 128) = each window's hot-bucket plain sum
+    and bits_ref (nwin, c, 128) = that bucket's digit bits (MSB order
+    matching sums_ref); every window also folds in digit * sums2 via a c-step
+    double-and-add - the deferred weight of the separately-summed bucket."""
+    if exclude:
+        sums2_ref, bits_ref, out_refs = rest[0], rest[1], rest[2:]
+    else:
+        sums2_ref = bits_ref = None
+        out_refs = rest
     base = TOps(p_ref[:], pprime, lazy=True)
     nl = p_ref.shape[0]
     nwin = sums_ref.shape[0]
@@ -389,19 +441,40 @@ def _combine_kernel(pprime, comps, c, p_ref, one_ref, sums_ref, *out_refs):
     else:
         P0 = ((zero_b, zero_b), (one_b, zero_b), (zero_b, zero_b))
 
+    def unpack(blk):
+        if comps == 1:
+            return (blk[0:nl], blk[nl : 2 * nl], blk[2 * nl : 3 * nl])
+        return (
+            (blk[0:nl], blk[nl : 2 * nl]),
+            (blk[2 * nl : 3 * nl], blk[3 * nl : 4 * nl]),
+            (blk[4 * nl : 5 * nl], blk[5 * nl : 6 * nl]),
+        )
+
+    def psel(m, A, B):
+        if comps == 1:
+            return tuple(ops.sel(m, a, b) for a, b in zip(A, B))
+        return tuple(
+            (ops.sel(m, a[0], b[0]), ops.sel(m, a[1], b[1])) for a, b in zip(A, B)
+        )
+
     def body(w, P):
         for _ in range(c):
             P = jac_double(ops, P)
-        blk = sums_ref[w]  # (3*comps*NL, 128)
-        if comps == 1:
-            Q = (blk[0:nl], blk[nl : 2 * nl], blk[2 * nl : 3 * nl])
-        else:
-            Q = (
-                (blk[0:nl], blk[nl : 2 * nl]),
-                (blk[2 * nl : 3 * nl], blk[3 * nl : 4 * nl]),
-                (blk[4 * nl : 5 * nl], blk[5 * nl : 6 * nl]),
-            )
-        return jac_add(ops, P, Q)
+        P = jac_add(ops, P, unpack(sums_ref[w]))
+        if exclude:
+            S2 = unpack(sums2_ref[w])
+            bits = bits_ref[w]  # (c, 128) int32, row i = bit i of the digit
+            if comps == 1:
+                acc0 = (zero_b, one_b, zero_b)
+            else:
+                acc0 = ((zero_b, zero_b), (one_b, zero_b), (zero_b, zero_b))
+            acc = acc0
+            for i in range(c - 1, -1, -1):  # MSB first
+                acc = jac_double(ops, acc)
+                m = bits[i : i + 1, :] != 0
+                acc = psel(m, jac_add(ops, acc, S2), acc)
+            P = jac_add(ops, P, acc)
+        return P
 
     P = jax.lax.fori_loop(0, nwin, body, P0)
     if comps == 1:
@@ -415,25 +488,43 @@ def _combine_kernel(pprime, comps, c, p_ref, one_ref, sums_ref, *out_refs):
         out_refs[idx][:] = plane
 
 
-def _combine_windows(comps, c, sums_msb):
-    """(nwin, 3*comps*NL, 128) -> 3*comps planes (NL, 128), lane 0 = MSM."""
+def _combine_windows(comps, c, sums_msb, sums2_msb=None, bits_msb=None):
+    """(nwin, 3*comps*NL, 128) -> 3*comps planes (NL, 128), lane 0 = MSM.
+
+    sums2_msb/bits_msb (hot-bucket plain sums + digit bit planes) trigger the
+    weighted fold in the kernel - see _combine_kernel."""
     nwin, _, width = sums_msb.shape
     nl = sums_msb.shape[1] // (3 * comps)
+    exclude = sums2_msb is not None
     spec_in = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((nl, width), U32)] * (3 * comps)
     p_col = jnp.asarray(_P_LIMBS, U32)[:, None] * jnp.ones((1, width), U32)
     one_col = jnp.asarray(_ONE_MONT, U32)[:, None] * jnp.ones((1, width), U32)
+    args = (p_col, one_col, sums_msb) + ((sums2_msb, bits_msb) if exclude else ())
     return pl.pallas_call(
-        functools.partial(_combine_kernel, _PPRIME, comps, c),
-        in_specs=[spec_in] * 3,
+        functools.partial(_combine_kernel, _PPRIME, comps, c, exclude),
+        in_specs=[spec_in] * len(args),
         out_specs=[spec_in] * (3 * comps),
         out_shape=out_shape,
         interpret=jax.default_backend() == "cpu",
-    )(p_col, one_col, sums_msb)
+    )(*args)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
-def _msm_main(comps, c: int, w_cap: int, btile: int, pack: int, packed, orders, starts, counts):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+def _msm_main(
+    comps,
+    c: int,
+    w_cap: int,
+    btile: int,
+    pack: int,
+    exclude: bool,
+    kt: bool,
+    packed,
+    orders,
+    starts,
+    counts,
+    dstars,
+):
     """The full MSM given preprocessing: scan over windows (gather-sort the
     payload, wave-accumulate buckets, suffix-reduce), then one combine
     kernel over the per-window sums.
@@ -444,7 +535,15 @@ def _msm_main(comps, c: int, w_cap: int, btile: int, pack: int, packed, orders, 
     assignment is by CONTIGUOUS sorted sub-range: lane (digit d, group gr)
     covers sorted positions [s_d + gr*ceil(cnt_d/G), ...), so packed rows of
     adjacent sorted points serve every window including the grouped top one
-    (validity masks absorb the <=pack-1 row-boundary straddle per lane)."""
+    (validity masks absorb the <=pack-1 row-boundary straddle per lane).
+
+    `exclude` (static): single-hot-bucket skew mode. Each window's heaviest
+    bucket dstars[w] is dropped from the wave grid (w_cap is then sized by
+    the SECOND-heaviest bucket) and summed by a dense pass over the already-
+    sorted payload (its points are one contiguous sorted run - no extra
+    gather); the combine kernel folds in digit * sum. This keeps repeated
+    scalar values (witness bits, scalar==one crowds - multiexp.rs:95-102) on
+    the fast path instead of the rolled XLA fallback."""
     n = packed.shape[0]
     b = 1 << c
     w2 = w_cap  # waves of `pack` points each (sized by the dispatcher)
@@ -454,7 +553,12 @@ def _msm_main(comps, c: int, w_cap: int, btile: int, pack: int, packed, orders, 
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
 
     def per_window(_, xs):
-        order, starts_w, counts_w, g = xs
+        order, starts_w, counts_w, dstar, g = xs
+        counts_eff = (
+            jnp.where(lane_row[0, : counts_w.shape[0]] == dstar, 0, counts_w)
+            if exclude
+            else counts_w
+        )
         # digit/group are constant down the wave axis: keep their table
         # lookups (1, B). The payload permutation runs as TWO wide-row
         # gathers (sort, then packed wave slots) - wide rows amortize the
@@ -463,7 +567,7 @@ def _msm_main(comps, c: int, w_cap: int, btile: int, pack: int, packed, orders, 
         digit_row = lane_row // g  # (1, B)
         group_row = lane_row % g
         s_d = starts_w[digit_row]
-        cnt = counts_w[digit_row]
+        cnt = counts_eff[digit_row]
         sub = -(-cnt // g)  # ceil: contiguous sub-range length per lane
         lo = s_d + group_row * sub
         hi = s_d + jnp.minimum((group_row + 1) * sub, cnt)
@@ -474,20 +578,56 @@ def _msm_main(comps, c: int, w_cap: int, btile: int, pack: int, packed, orders, 
             ((pos0 + j >= lo) & (pos0 + j < hi) & (digit_row != 0)).astype(jnp.int32)
             for j in range(pack)
         ]
-        valid = jnp.stack(valids, axis=1)  # (w2, pack, B)
         packed_sorted = packed[order]  # (N, 2*comps*NL) wide gather
         packed_pk = packed_sorted.reshape(rows_pk, pack * packed.shape[1])
-        wave_packed = jnp.transpose(packed_pk[qc], (0, 2, 1))
-        buckets = _wave_accumulate(comps, pack, wave_packed, valid, btile)
+        if kt:
+            # feed the gather's natural (w2, B, row) layout straight to the
+            # kernel (it transposes tiles in VMEM) - no XLA transpose pass
+            valid = jnp.stack(valids, axis=-1)  # (w2, B, pack)
+            wave_packed = packed_pk[qc]
+        else:
+            valid = jnp.stack(valids, axis=1)  # (w2, pack, B)
+            wave_packed = jnp.transpose(packed_pk[qc], (0, 2, 1))
+        buckets = _wave_accumulate(comps, pack, wave_packed, valid, btile, kt)
         wmask = ((lane_row % g == 0) & (lane_row != 0)).astype(jnp.int32)
         sums = _suffix_reduce(comps, wmask, buckets)  # 3*comps of (NL, 128)
-        return None, jnp.concatenate(sums, axis=0)
+        out = jnp.concatenate(sums, axis=0)
+        if not exclude:
+            return None, out
+        # hot-bucket dense pass: its points are the contiguous sorted run
+        # [lo_s, hi_s); sweep ALL rows of the sorted payload in natural
+        # (w3, B) order with a range mask - a reshape, not another gather
+        lo_s = starts_w[dstar]
+        hi_s = lo_s + counts_w[dstar]
+        w3 = rows_pk // b
+        k3 = jax.lax.broadcasted_iota(jnp.int32, (w3, b), 0)
+        l3 = jax.lax.broadcasted_iota(jnp.int32, (w3, b), 1)
+        pos3 = pack * (k3 * b + l3)
+        valids2 = [
+            ((pos3 + j >= lo_s) & (pos3 + j < hi_s)).astype(jnp.int32) for j in range(pack)
+        ]
+        if kt:
+            wave2 = packed_pk.reshape(w3, b, packed_pk.shape[1])
+            valid2 = jnp.stack(valids2, axis=-1)
+        else:
+            wave2 = jnp.transpose(packed_pk.reshape(w3, b, packed_pk.shape[1]), (0, 2, 1))
+            valid2 = jnp.stack(valids2, axis=1)
+        buckets2 = _wave_accumulate(comps, pack, wave2, valid2, btile, kt)
+        wmask0 = (lane_row == 0).astype(jnp.int32)
+        sums2 = _suffix_reduce(comps, wmask0, buckets2)
+        return None, (out, jnp.concatenate(sums2, axis=0))
 
     # windows MSB-first
     gs = jnp.asarray(_window_groups(c))
-    xs = (orders[::-1], starts[::-1], counts[::-1], gs[::-1])
-    _, sums_msb = jax.lax.scan(per_window, None, xs)
-    planes = _combine_windows(comps, c, sums_msb)
+    xs = (orders[::-1], starts[::-1], counts[::-1], dstars[::-1], gs[::-1])
+    _, scanned = jax.lax.scan(per_window, None, xs)
+    if exclude:
+        sums_msb, sums2_msb = scanned
+        bits = ((dstars[::-1, None] >> jnp.arange(c)[None, :]) & 1).astype(jnp.int32)
+        bits_msb = jnp.broadcast_to(bits[:, :, None], bits.shape + (128,))
+        planes = _combine_windows(comps, c, sums_msb, sums2_msb, bits_msb)
+    else:
+        planes = _combine_windows(comps, c, scanned)
     if comps == 1:
         return planes[0][:, :1], planes[1][:, :1], planes[2][:, :1]
     return (
@@ -528,6 +668,18 @@ def _pack_factor(n: int) -> int:
     return 4 if n >= (1 << 14) else 1
 
 
+def _kt_mode(comps: int, pack: int) -> bool:
+    """Kernel-transpose mode: skip the per-window XLA (w2, B, row)->(w2,
+    row, B) HBM transpose and let the wave kernel transpose VMEM tiles.
+    Needs lane-aligned packed rows (row width multiple of 128 columns).
+    PHASE2_TPU_MSM_KT=0 restores the XLA transpose path."""
+    import os
+
+    if os.environ.get("PHASE2_TPU_MSM_KT") == "0":
+        return False
+    return (pack * 2 * comps * NLIMBS) % 128 == 0
+
+
 def _wave_cap(max_occ: int, pack: int) -> int:
     """Static wave count: ceil(max_occ/pack) + 1 (the +1 absorbs packed-row
     start misalignment), rounded up for compile-cache-friendly shapes."""
@@ -547,24 +699,41 @@ def msm_pallas_or_none(
     with batch shape (), or None when the digit distribution is too skewed
     for the dense wave grid (caller falls back to ops/msm.py).
 
+    Single-hot-bucket skew (repeated scalar values: witness bits, constant
+    scalars - the multiexp.rs:95-102 special cases) stays on the fast path:
+    the heaviest bucket per window is split out and summed densely, and the
+    wave cap is sized by the remaining occupancy. Only distributions with
+    SEVERAL oversized buckets per window (genuinely adversarial) fall back.
+
     scalars_canon: uint32[N, 16] canonical (NOT Montgomery)."""
     n = batch.inf.shape[0]
     if c is None:
         c = pick_window(n)
     b = 1 << c
-    orders, starts, counts, max_occ = _prep_windows(scalars_canon, batch.inf, c)
-    max_occ = int(max_occ)  # one host sync per MSM
+    orders, starts, counts, dstars, occs = _prep_windows(scalars_canon, batch.inf, c)
+    occ_all, occ2 = (int(v) for v in np.asarray(occs))  # one host sync per MSM
     mean = max(1, n // b)
-    if max_occ == 0 or max_occ > 4 * mean + 64:
-        # all-zero scalars, or adversarial skew (the wave grid would be
-        # mostly padding): let the caller's XLA path handle it
-        return None
+    gate = 4 * mean + 64
     if pack is None:
         pack = _pack_factor(n)
     while pack > 1 and n % pack:
         pack //= 2
-    w_cap = _wave_cap(max_occ, pack)
+    if occ_all == 0:
+        return None  # all-zero scalars: caller's XLA path handles trivially
+    if occ_all <= gate:
+        exclude = False
+        w_cap = _wave_cap(occ_all, pack)
+    elif occ2 <= gate and (n // pack) % b == 0:
+        exclude = True
+        w_cap = _wave_cap(max(occ2, 1), pack)
+    else:
+        # multiple oversized buckets (adversarial), or the payload is too
+        # small to reshape into (w3, B) dense waves: XLA fallback
+        return None
     comps = 1 if group == "g1" else 2
     packed = _packed_rows(batch, comps)
-    result = _msm_main(comps, c, w_cap, btile, pack, packed, orders, starts, counts)
+    result = _msm_main(
+        comps, c, w_cap, btile, pack, exclude, _kt_mode(comps, pack),
+        packed, orders, starts, counts, dstars,
+    )
     return _result_to_jac(comps, result)

@@ -252,18 +252,22 @@ def _msm_local(f, c: int, batch, scalars):
     return _combine_partials(f, acc)
 
 
-def _msm_local_pallas(f, comps, c, w_cap, btile, pack, batch, orders, starts, counts):
+def _msm_local_pallas(
+    f, comps, c, w_cap, btile, pack, exclude, kt, batch, orders, starts, counts, dstars
+):
     """Per-device Pallas Pippenger (the Mosaic wave/suffix/combine pipeline
     from ops/pallas_msm.py) over the local shard + all_gather combination.
 
-    (orders, starts, counts) are the per-shard window preprocessing, computed
-    once in sharded_msm (the data-dependent wave cap w_cap must be a static
-    kernel parameter, so the occupancy host-pull happens before shard_map)."""
+    (orders, starts, counts, dstars) are the per-shard window preprocessing,
+    computed once in sharded_msm (the data-dependent wave cap w_cap must be a
+    static kernel parameter, so the occupancy host-pull happens before
+    shard_map)."""
     from ..ops import pallas_msm
 
     packed = pallas_msm._packed_rows(batch, comps)
     result = pallas_msm._msm_main(
-        comps, c, w_cap, btile, pack, packed, orders[0], starts[0], counts[0]
+        comps, c, w_cap, btile, pack, exclude, kt,
+        packed, orders[0], starts[0], counts[0], dstars[0],
     )
     acc = pallas_msm._result_to_jac(comps, result)
     return _combine_partials(f, acc)
@@ -313,32 +317,42 @@ def sharded_msm(mesh: Mesh, group: str, batch: G.AffineBatch, scalars_canon: jnp
         # be static for the Mosaic kernel: ONE host pull of the global max.
         ginf = gbatch.inf.reshape(ndev, per)
         gsc = gscalars.reshape(ndev, per, scalars_canon.shape[-1])
-        orders, starts, counts, occ = jax.vmap(
+        orders, starts, counts, dstars, occs = jax.vmap(
             lambda s, i: pallas_msm._prep_windows(s, i, c)
         )(gsc, ginf)
-        max_occ = int(jnp.max(occ))
+        occ_all, occ2 = (int(v) for v in np.asarray(jnp.max(occs, axis=0)))
         mean = max(1, per // (1 << c))
-        if 0 < max_occ <= 4 * mean + 64:
-            comps = 1 if group == "g1" else 2
-            pack = pallas_msm._pack_factor(per)
-            while pack > 1 and per % pack:
-                pack //= 2
-            w_cap = pallas_msm._wave_cap(max_occ, pack)
+        gate = 4 * mean + 64
+        comps = 1 if group == "g1" else 2
+        pack = pallas_msm._pack_factor(per)
+        while pack > 1 and per % pack:
+            pack //= 2
+        exclude = None
+        if 0 < occ_all <= gate:
+            exclude, w_cap = False, pallas_msm._wave_cap(occ_all, pack)
+        elif 0 < occ_all and occ2 <= gate and (per // pack) % (1 << c) == 0:
+            # single-hot-bucket skew: dense hot-run pass per shard
+            exclude, w_cap = True, pallas_msm._wave_cap(max(occ2, 1), pack)
+        if exclude is not None:
             btile = min(2048, 1 << c)
             with fp.force_rolled():  # rolled glue for the combine tree-adds
                 fn = shard_map(
-                    functools.partial(_msm_local_pallas, f, comps, c, w_cap, btile, pack),
+                    functools.partial(
+                        _msm_local_pallas, f, comps, c, w_cap, btile, pack, exclude,
+                        pallas_msm._kt_mode(comps, pack),
+                    ),
                     mesh=mesh,
                     in_specs=(
                         pspec,
                         P(AXIS, None, None),
                         P(AXIS, None, None),
                         P(AXIS, None, None),
+                        P(AXIS, None),
                     ),
                     out_specs=out_specs,
                     check_vma=False,
                 )
-                return fn(gbatch, orders, starts, counts)
+                return fn(gbatch, orders, starts, counts, dstars)
         # adversarial skew: fall through to the XLA bucket path
 
     c = msm_mod.pick_window(per) if per >= 64 else 0

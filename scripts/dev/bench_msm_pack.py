@@ -52,6 +52,12 @@ def run(log2n, pack, reps=2):
 
 
 if __name__ == "__main__":
-    for log2n in (18, 20):
-        for pack in (1, 2, 4, 8):
+    if len(sys.argv) > 1:
+        # e.g. `bench_msm_pack.py 20 4 8` = 2^20 at pack 4 and 8
+        log2n = int(sys.argv[1])
+        for pack in [int(a) for a in sys.argv[2:]] or [4]:
             run(log2n, pack)
+    else:
+        for log2n in (18, 20):
+            for pack in (1, 2, 4, 8):
+                run(log2n, pack)

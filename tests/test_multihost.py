@@ -56,7 +56,9 @@ def test_two_process_sharded_ops(tmp_path):
     ]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=1100)
+        # cold-cache 2-process compiles under a fully loaded xdist session
+        # have been observed past 1100 s; warm-cache runs take ~2 min
+        out, _ = p.communicate(timeout=2400)
         outs.append(out.decode())
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
