@@ -20,27 +20,38 @@ G1 exp needs ~2150 mont_muls x 512 lane-ops (scripts/dev/microbench.py:60-82),
 a signed-GLS G2 exp ~5000 Fq-mul-equivalents. pct_of_roofline divides the
 analytic minimum by measured lane-op throughput.
 
-BUDGET DISCIPLINE (the driver runs this under an external `timeout`): the
-run works against a wall-clock budget (PHASE2_TPU_BENCH_BUDGET_S, default
-900 s from process start).  After EVERY completed metric the full current
-scoreboard is re-printed as one JSON line on stdout (flushed) — the driver
-parses the last JSON line, so even an external kill mid-run leaves a complete
-headline + partial board.  Metrics are ordered by value-per-second (headline
-first, cheap NTT next, the expensive cold-compile metrics last) and each one
-is skipped, with a reason in the board, when its estimated warm-path cost no
-longer fits the remaining budget.  Per-kernel cost on the remote axon tunnel
-(measured, warm persistent cache): ~90-170 s one-time device init, ~40 s
-trace of an unrolled ladder, ~95-145 s executable load even on a compile
-cache HIT, so a realistic warm full board is ~10-13 min.
+PROCESS ARCHITECTURE (the lesson of rounds 1-4, all of which failed to land
+a full board: r3 rc=124 external timeout, r4 rc=139 segfault after a tunnel
+wedge poisoned the whole process):
+
+  * `python bench.py` is a PARENT ORCHESTRATOR that never imports jax. It
+    spawns a WORKER subprocess (`bench.py --worker m1,m2,...`) in its own
+    session/process-group and relays `@RESULT` lines into the board.
+  * If the worker goes silent past a per-metric deadline (the axon tunnel
+    wedges: every device op then hangs forever) the parent SIGKILLs the
+    worker's WHOLE process group, marks that one metric hung, and respawns
+    a FRESH worker for the remaining metrics — a fresh process gets a fresh
+    tunnel connection, so one wedge no longer forfeits the rest of the board.
+  * The parent re-prints the complete board as one flushed JSON line after
+    every event (the driver parses the LAST JSON line) and always exits 0.
+
+BUDGET: wall-clock budget PHASE2_TPU_BENCH_BUDGET_S (default 900 s from
+parent start). Metrics are ordered most-important-first and each is skipped,
+with a reason on the board, when its estimated warm-path cost no longer fits.
+Measured per-kernel costs through the remote axon tunnel (warm persistent
+cache): ~90-250 s one-time device init per process, ~40 s trace of an
+unrolled ladder, ~95-145 s executable load even on a compile-cache HIT.
 """
 
 import json
 import os
+import signal
+import subprocess
 import sys
 import tempfile
 import time
 
-T_PROC0 = time.time()
+T_PROC0 = float(os.environ.get("PHASE2_TPU_BENCH_T0", time.time()))
 
 BASELINE_G1_MULS_PER_S = 5.0e4
 PEAK_LANE_OPS = float(os.environ.get("PHASE2_TPU_PEAK_LANE_OPS", 8 * 128 * 0.94e9))
@@ -49,74 +60,23 @@ MULS_PER_G2_EXP = 5000.0  # signed-GLS quad ladder, Fq-mul equivalents
 LANE_OPS_PER_MUL = 512.0  # 2 * NLIMBS^2 16x16 products (CIOS)
 
 BUDGET_S = float(os.environ.get("PHASE2_TPU_BENCH_BUDGET_S", 900.0))
+INIT_DEADLINE_S = float(os.environ.get("PHASE2_TPU_BENCH_INIT_S", 420.0))
+MAX_RESPAWNS = int(os.environ.get("PHASE2_TPU_BENCH_RESPAWNS", 2))
 
 
 def _remaining() -> float:
     return BUDGET_S - (time.time() - T_PROC0)
 
 
-def _device_watchdog() -> bool:
-    """True once the device answers a trivial computation.
-
-    The remote axon TPU tunnel can wedge (every op then hangs forever) and
-    recover minutes later; probes retry until ~40% of the budget is burned.
-    The first successful op also performs the (90-250 s) one-time backend
-    init, so a generous per-probe timeout is the norm, not the exception."""
-    import threading
-
-    ok = []
-
-    def probe():
-        import jax.numpy as jnp
-        import numpy as np
-
-        np.asarray(jnp.ones((8, 8)) * 2)
-        ok.append(True)
-
-    deadline = T_PROC0 + min(0.4 * BUDGET_S, 420.0)
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    while time.time() < deadline:
-        t.join(min(30.0, max(1.0, deadline - time.time())))
-        if ok:
-            return True
-    return bool(ok)
-
-
-def _run_with_timeout(fn, timeout_s: float):
-    """Run fn in a worker thread; raises TimeoutError if it doesn't finish.
-
-    A tunnel wedge MID-BENCH would otherwise hang the process with the
-    scoreboard stuck at whatever was last emitted; the worker thread is
-    abandoned (daemon) and the caller stops scheduling further metrics."""
-    import threading
-
-    result, error = [], []
-
-    def work():
-        try:
-            result.append(fn())
-        except BaseException as e:  # noqa: BLE001 - reported to the board
-            error.append(e)
-
-    t = threading.Thread(target=work, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    if result:
-        return result[0]
-    if error:
-        raise error[0]
-    raise TimeoutError(f"metric did not finish within {round(timeout_s)}s (tunnel wedge?)")
-
-
-def _exp_roofline(pts_per_s, muls_per_exp):
-    return round(pts_per_s * muls_per_exp * LANE_OPS_PER_MUL / PEAK_LANE_OPS * 100, 1)
-
-
 def _median(xs):
     xs = sorted(xs)
     n = len(xs)
     return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
+
+# --------------------------------------------------------------------------
+# metric implementations (run inside the worker process only)
+# --------------------------------------------------------------------------
 
 
 def bench_batch_exp(group: str, log2n: int, reps: int):
@@ -270,129 +230,313 @@ def bench_contribute(size: int, batch: int):
     return time.time() - t0
 
 
-def main():
-    import jax  # noqa: F401
+# --------------------------------------------------------------------------
+# metric registry: name -> (est_cost_s, builder of the board entry)
+# Ordered most-important-first: each never-yet-captured flagship number
+# outranks a cheaper repeat measurement.
+# --------------------------------------------------------------------------
 
+
+def _exp_roofline(pts_per_s, muls_per_exp):
+    return round(pts_per_s * muls_per_exp * LANE_OPS_PER_MUL / PEAK_LANE_OPS * 100, 1)
+
+
+def _entry_batch_exp(name, group, log2n, reps, g2=False):
+    value, spread = bench_batch_exp(group, log2n, reps)
+    vs = (3 * value if g2 else value) / BASELINE_G1_MULS_PER_S
+    return {
+        "name": name,
+        "value": round(value, 1),
+        "unit": "points/s/chip",
+        "spread_pct": spread,
+        "vs_baseline": round(vs, 3),
+        "pct_of_roofline": _exp_roofline(value, MULS_PER_G2_EXP if g2 else MULS_PER_G1_EXP),
+    }
+
+
+def _entry_ntt(name, exp, reps):
+    ms = 1e3 * bench_ntt(exp, reps)
+    return {"name": name, "value": round(ms, 1), "unit": "ms"}
+
+
+def _entry_msm(name, log2n, reps):
+    v = bench_msm(log2n, reps)
+    return {
+        "name": name,
+        "value": round(v, 1),
+        "unit": "points/s/chip",
+        # analytic minimum: windows x 1.5 slot-madds/pt x 13 muls
+        "pct_of_roofline": round(v * 20 * 1.5 * 13 * LANE_OPS_PER_MUL / PEAK_LANE_OPS * 100, 1),
+    }
+
+
+def _entry_contribute(name, size, batch):
+    v = bench_contribute(size, batch)
+    # reference-equivalent work: (3*2^14 + 2^15) G1 + 2^14 G2 (~3x G1)
+    vs = ((3 * (1 << size) + (1 << (size + 1)) + 3 * (1 << size)) / BASELINE_G1_MULS_PER_S) / v
+    return {"name": name, "value": round(v, 1), "unit": "s", "vs_baseline": round(vs, 3)}
+
+
+METRICS = [
+    # (name, est_cost_s, thunk)
+    ("g1_batch_exp_2^16", 120.0, lambda: _entry_batch_exp("g1_batch_exp_2^16", "g1", 16, reps=5)),
+    ("g1_msm_pallas_2^20", 150.0, lambda: _entry_msm("g1_msm_pallas_2^20", 20, reps=2)),
+    ("fr_ntt_2^20", 60.0, lambda: _entry_ntt("fr_ntt_2^20", 20, reps=3)),
+    ("fr_ntt_2^22", 60.0, lambda: _entry_ntt("fr_ntt_2^22", 22, reps=2)),
+    ("fr_ntt_2^24", 75.0, lambda: _entry_ntt("fr_ntt_2^24", 24, reps=2)),
+    ("g2_batch_exp_2^16", 190.0, lambda: _entry_batch_exp("g2_batch_exp_2^16", "g2", 16, reps=3, g2=True)),
+    ("contribute_e2e_size14", 180.0, lambda: _entry_contribute("contribute_e2e_size14", 14, 1 << 13)),
+    # large production chunk shape (full 2^21 as ONE kernel call OOMs the
+    # remote compile helper; real ceremonies stream 2^16..2^19 chunks —
+    # batched_accumulator.rs:1119 equivalent)
+    ("g1_batch_exp_2^19", 200.0, lambda: _entry_batch_exp("g1_batch_exp_2^19", "g1", 19, reps=2)),
+]
+if os.environ.get("PHASE2_TPU_BENCH_SELFTEST"):
+    # Orchestration self-test (tests/test_bench.py): synthetic metrics that
+    # exercise the protocol — ok, raise, hang-forever (fake tunnel wedge),
+    # then ok-after-respawn — with no jax import and tiny deadlines.
+    def _st_ok(name, v):
+        return {"name": name, "value": v, "unit": "widgets"}
+
+    METRICS = [
+        ("st_ok", 5.0, lambda: _st_ok("st_ok", 1.0)),
+        ("st_err", 5.0, lambda: (_ for _ in ()).throw(ValueError("boom"))),
+        ("st_hang", 1.0, lambda: time.sleep(10_000)),
+        ("st_after", 5.0, lambda: _st_ok("st_after", 2.0)),
+    ]
+
+MIN_DEADLINE_S = float(os.environ.get("PHASE2_TPU_BENCH_MIN_DEADLINE_S", 240.0))
+METRIC_BY_NAME = {name: (cost, thunk) for name, cost, thunk in METRICS}
+
+
+# --------------------------------------------------------------------------
+# worker: runs metrics in-process, speaks a line protocol on stdout
+# --------------------------------------------------------------------------
+
+
+def worker_main(names):
+    """`bench.py --worker a,b,c`: probe the device, then run each metric.
+
+    Protocol (stdout, line-oriented, flushed):
+      @READY                     device answered a trivial op (init done)
+      @START <name>              about to run <name>
+      @RESULT <json entry>       <name> finished; entry goes on the board
+      @ERROR <name> <message>    <name> raised (worker continues)
+    Everything else a metric prints goes to stderr. A wedged tunnel makes
+    the worker go silent mid-metric; the PARENT owns the deadline and kills
+    this whole process group, so no in-process watchdog threads exist here
+    (the r4 board died rc=139 from exactly that thread/runtime interplay)."""
+    if not os.environ.get("PHASE2_TPU_BENCH_SELFTEST"):
+        import jax.numpy as jnp
+        import numpy as np
+
+        np.asarray(jnp.ones((8, 8)) * 2)  # one-time backend init + tunnel probe
+    print("@READY", flush=True)
+    for name in names:
+        _, thunk = METRIC_BY_NAME[name]
+        print(f"@START {name}", flush=True)
+        try:
+            entry = thunk()
+        except Exception as e:  # noqa: BLE001 — reported to the parent board
+            print(f"@ERROR {name} {type(e).__name__}: {e}", flush=True)
+            continue
+        print(f"@RESULT {json.dumps(entry)}", flush=True)
+    print("@DONE", flush=True)
+
+
+# --------------------------------------------------------------------------
+# parent: orchestrates workers, owns the board, always exits 0
+# --------------------------------------------------------------------------
+
+
+class Worker:
+    """A bench worker subprocess in its own session (killpg-able)."""
+
+    def __init__(self, names):
+        import queue
+        import threading
+
+        env = dict(os.environ, PHASE2_TPU_BENCH_T0=str(T_PROC0))
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--worker", ",".join(names)],
+            stdout=subprocess.PIPE,
+            stderr=sys.stderr,
+            text=True,
+            start_new_session=True,
+            env=env,
+        )
+        self.q = queue.Queue()
+
+        def pump(pipe, q):
+            for line in pipe:
+                q.put(line.rstrip("\n"))
+            q.put(None)  # EOF
+
+        self.reader = threading.Thread(target=pump, args=(self.proc.stdout, self.q), daemon=True)
+        self.reader.start()
+
+    def next_line(self, timeout_s):
+        import queue
+
+        try:
+            return self.q.get(timeout=max(0.1, timeout_s))
+        except queue.Empty:
+            return TimeoutError
+
+    def kill(self):
+        try:
+            os.killpg(self.proc.pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        try:
+            self.proc.wait(timeout=10)
+        except Exception:
+            pass
+
+
+def parent_main():
     headline = {
         "metric": "bn254_g1_batch_exp_points_per_s",
         "value": 0,
         "unit": "points/s/chip",
         "vs_baseline": 0,
     }
-    metrics = []
+    board = {}  # name -> entry dict
+    order = [name for name, _, _ in METRICS]
 
     def emit():
-        """Re-print the full current board as ONE JSON line (last line wins).
-
-        The driver may kill this process at an unknown external timeout; by
-        flushing a complete JSON object after every metric, the scoreboard
-        degrades to 'whatever finished so far' instead of parsed:null."""
-        headline["metrics"] = metrics
+        """Re-print the full board as ONE JSON line (the driver keeps the
+        last parseable line, so mid-run kills still leave a real board)."""
+        headline["metrics"] = [board[n] for n in order if n in board]
         headline["budget_s"] = BUDGET_S
         headline["elapsed_s"] = round(time.time() - T_PROC0, 1)
         print(json.dumps(headline), flush=True)
 
-    if not _device_watchdog():
-        headline["error"] = "device unreachable (axon tunnel wedged; probe timed out)"
+    def note(msg):
+        print(f"# {msg}", file=sys.stderr, flush=True)
+
+    def record(entry):
+        board[entry["name"]] = entry
+        if entry["name"] == "g1_batch_exp_2^16" and "value" in entry:
+            headline["value"] = entry["value"]
+            headline["vs_baseline"] = entry.get("vs_baseline", 0)
         emit()
-        return
 
-    hung = []
+    pending = list(order)
+    respawns = 0
+    headline_retried = []
+    emit()  # a parseable (if empty) board exists from second zero
 
-    def add(name, unit, fn, vs=None, roofline=None, est_cost_s=60.0):
-        """Run one metric if it fits the remaining budget; re-emit the board."""
-        if hung:
-            metrics.append({"name": name, "skipped": "tunnel wedged on an earlier metric"})
+    while pending:
+        # Drop metrics whose estimated cost no longer fits the budget, but
+        # always leave the headline a chance while any budget remains.
+        runnable = []
+        for name in pending:
+            cost = METRIC_BY_NAME[name][0]
+            if _remaining() >= cost or (name == order[0] and _remaining() > 30):
+                runnable.append(name)
+            else:
+                board[name] = {
+                    "name": name,
+                    "skipped": f"budget ({round(_remaining())}s left, needs ~{round(cost)}s)",
+                }
+                note(f"{name} SKIPPED (budget)")
+        pending = runnable
+        emit()
+        if not pending:
+            break
+        if respawns > MAX_RESPAWNS:
+            for name in pending:
+                board[name] = {"name": name, "skipped": "respawn limit after repeated tunnel wedges"}
             emit()
-            return None
-        if _remaining() < est_cost_s:
-            metrics.append(
-                {"name": name, "skipped": f"budget ({round(_remaining())}s left, needs ~{round(est_cost_s)}s)"}
-            )
-            print(f"# {name} SKIPPED (budget)", file=sys.stderr, flush=True)
-            emit()
-            return None
-        try:
-            t0 = time.time()
-            value = _run_with_timeout(fn, min(_remaining(), max(est_cost_s * 3.0, 240.0)))
-            extra = {}
-            if isinstance(value, tuple):
-                value, extra["spread_pct"] = value
-            entry = {"name": name, "value": round(value, 1), "unit": unit, **extra}
-            if vs is not None:
-                entry["vs_baseline"] = round(vs(value), 3)
-            if roofline is not None:
-                entry["pct_of_roofline"] = roofline(value)
-            entry["bench_wall_s"] = round(time.time() - t0, 1)
-            metrics.append(entry)
-            print(f"# {name}: {entry}", file=sys.stderr, flush=True)
-            emit()
-            return value
-        except Exception as e:  # one failed metric must not kill the board
-            metrics.append({"name": name, "error": f"{type(e).__name__}: {e}"})
-            print(f"# {name} FAILED: {e}", file=sys.stderr, flush=True)
-            if isinstance(e, TimeoutError):
-                hung.append(name)  # wedged tunnel: stop scheduling metrics
-            emit()
-            return None
+            break
 
-    # --- headline first: g1 batch-exp 2^16, median of 5 reps + spread ---
-    v16 = add(
-        "g1_batch_exp_2^16",
-        "points/s/chip",
-        lambda: bench_batch_exp("g1", 16, reps=5),
-        vs=lambda v: v / BASELINE_G1_MULS_PER_S,
-        roofline=lambda v: _exp_roofline(v, MULS_PER_G1_EXP),
-        est_cost_s=60.0,  # always attempt the headline
-    )
-    if v16:
-        headline["value"] = round(v16, 1)
-        headline["vs_baseline"] = round(v16 / BASELINE_G1_MULS_PER_S, 3)
-
-    # --- cheap small-program kernels next (fast trace + load) ---
-    add("fr_ntt_2^20", "ms", lambda: 1e3 * bench_ntt(20, reps=3), est_cost_s=60.0)
-    add("fr_ntt_2^22", "ms", lambda: 1e3 * bench_ntt(22, reps=2), est_cost_s=60.0)
-    add("fr_ntt_2^24", "ms", lambda: 1e3 * bench_ntt(24, reps=2), est_cost_s=75.0)
-    add(
-        "g1_msm_pallas_2^20",
-        "points/s/chip",
-        lambda: bench_msm(20, reps=2),
-        # analytic minimum: 20 windows x 1.5 slot-madds/pt x 13 muls
-        roofline=lambda v: round(v * 20 * 1.5 * 13 * LANE_OPS_PER_MUL / PEAK_LANE_OPS * 100, 1),
-        est_cost_s=120.0,
-    )
-
-    # --- heavyweight unrolled-ladder / multi-kernel metrics last ---
-    add(
-        "g2_batch_exp_2^16",
-        "points/s/chip",
-        lambda: bench_batch_exp("g2", 16, reps=3),
-        vs=lambda v: 3 * v / BASELINE_G1_MULS_PER_S,  # G2 ~ 3x G1 work
-        roofline=lambda v: _exp_roofline(v, MULS_PER_G2_EXP),
-        est_cost_s=190.0,
-    )
-    add(
-        "contribute_e2e_size14",
-        "s",
-        lambda: bench_contribute(14, 1 << 13),
-        # reference-equivalent work: (3*2^14 + 2^15) G1 + 2^14 G2 (~3x G1)
-        # = 1.31e5 G1-muls => baseline would take that / 5.0e4 seconds
-        vs=lambda v: ((3 * (1 << 14) + (1 << 15) + 3 * (1 << 14)) / BASELINE_G1_MULS_PER_S) / v,
-        est_cost_s=180.0,
-    )
-    add(
-        # large production chunk shape (full 2^21 as ONE kernel call OOMs
-        # the remote compile helper; real ceremonies stream 2^16..2^19
-        # chunks - batched_accumulator.rs:1119 equivalent)
-        "g1_batch_exp_2^19",
-        "points/s/chip",
-        lambda: bench_batch_exp("g1", 19, reps=2),
-        vs=lambda v: v / BASELINE_G1_MULS_PER_S,
-        roofline=lambda v: _exp_roofline(v, MULS_PER_G1_EXP),
-        est_cost_s=200.0,
-    )
+        w = Worker(pending)
+        note(f"worker spawned (attempt {respawns + 1}) for: {', '.join(pending)}")
+        current = None  # metric the worker is executing right now
+        # Phase 1: wait for @READY (device init — 90-250 s through the tunnel)
+        deadline = min(INIT_DEADLINE_S, max(30.0, _remaining()))
+        t_phase = time.time()
+        wedged = False
+        while True:
+            line = w.next_line(t_phase + deadline - time.time())
+            if line is TimeoutError:
+                wedged = True
+                reason = (
+                    f"device init exceeded {round(deadline)}s"
+                    if current is None
+                    else f"metric exceeded {round(deadline)}s (tunnel wedge)"
+                )
+                note(f"KILLING worker: {reason}")
+                w.kill()
+                if current is not None:
+                    board[current] = {"name": current, "error": f"TimeoutError: {reason}"}
+                    # the headline gets ONE retry in the respawned worker —
+                    # it is the only number the driver promotes to the top
+                    retry = current == order[0] and not headline_retried
+                    if retry:
+                        headline_retried.append(True)
+                        del board[current]
+                    elif current in pending:
+                        pending.remove(current)
+                emit()
+                break
+            if line is None:  # EOF before @DONE: worker crashed (init error,
+                # segfault, OOM) — counts as a respawn either way
+                rc = w.proc.wait()
+                note(f"worker exited rc={rc} before @DONE")
+                if current is not None:  # died mid-metric
+                    board[current] = {"name": current, "error": f"worker died rc={rc} mid-metric"}
+                    if current in pending:
+                        pending.remove(current)
+                wedged = True
+                emit()
+                break
+            if line == "@READY":
+                note(f"device ready after {round(time.time() - T_PROC0, 1)}s")
+                t_phase, deadline = time.time(), max(60.0, _remaining())
+                continue
+            if line.startswith("@START "):
+                current = line.split(" ", 1)[1]
+                cost = METRIC_BY_NAME[current][0]
+                t_phase = time.time()
+                deadline = min(max(cost * 3.0, MIN_DEADLINE_S), max(30.0, _remaining() + 30.0))
+                continue
+            if line.startswith("@RESULT "):
+                entry = json.loads(line.split(" ", 1)[1])
+                note(f"{entry['name']}: {entry}")
+                record(entry)
+                if current in pending:
+                    pending.remove(current)
+                current = None
+                continue
+            if line.startswith("@ERROR "):
+                _, name, msg = line.split(" ", 2)
+                board[name] = {"name": name, "error": msg}
+                note(f"{name} FAILED: {msg}")
+                if name in pending:
+                    pending.remove(name)
+                current = None
+                emit()
+                continue
+            if line == "@DONE":
+                w.kill()  # reap; also guards against wedged atexit hangs
+                pending = [n for n in pending if n not in board]
+                break
+            # any other stdout line from the worker: relay to stderr
+            note(f"worker: {line}")
+        if wedged:
+            respawns += 1
 
     emit()
+
+
+def main():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--worker":
+        worker_main([n for n in sys.argv[2].split(",") if n])
+        return
+    parent_main()
+    # the parent never imports jax; nothing can segfault at interpreter exit
 
 
 if __name__ == "__main__":
