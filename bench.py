@@ -61,7 +61,7 @@ LANE_OPS_PER_MUL = 512.0  # 2 * NLIMBS^2 16x16 products (CIOS)
 
 BUDGET_S = float(os.environ.get("PHASE2_TPU_BENCH_BUDGET_S", 900.0))
 INIT_DEADLINE_S = float(os.environ.get("PHASE2_TPU_BENCH_INIT_S", 420.0))
-MAX_RESPAWNS = int(os.environ.get("PHASE2_TPU_BENCH_RESPAWNS", 2))
+MAX_RESPAWNS = int(os.environ.get("PHASE2_TPU_BENCH_RESPAWNS", 4))
 
 
 def _remaining() -> float:
@@ -479,6 +479,17 @@ def parent_main():
                         del board[current]
                     elif current in pending:
                         pending.remove(current)
+                    # Same-family metrics (e.g. fr_ntt_2^22 after fr_ntt_2^20
+                    # timed out) almost certainly share the root cause: demote
+                    # them behind every other family so one bad family can't
+                    # burn the whole respawn budget (the r5 warm-run lesson:
+                    # three NTT timeouts starved g2/contribute/2^19).
+                    fam = current.rsplit("_2^", 1)[0]
+                    kept = [m for m in pending if not m.startswith(fam)]
+                    demoted = [m for m in pending if m.startswith(fam)]
+                    if demoted:
+                        note(f"demoting family '{fam}': {', '.join(demoted)}")
+                    pending = kept + demoted
                 emit()
                 break
             if line is None:  # EOF before @DONE: worker crashed (init error,

@@ -49,16 +49,22 @@ class Domain:
 
     @functools.lru_cache(maxsize=None)
     def twiddles(self, inverse: bool) -> np.ndarray:
-        """omega^j (Montgomery limbs) for j in [0, m/2), built on device by
-        log-doubling (no O(m) host loop - at 2^26 that was ~10^8 Python
-        iterations before any compute)."""
-        # ensure_compile_time_eval: twiddles() is usually hit during an
-        # outer ntt trace; the table must evaluate eagerly so lru_cache
-        # stores concrete host bytes, not a tracer
+        """omega^j (Montgomery limbs) for j in [0, m/2). Small domains are
+        pure host-int arithmetic (eager device log-doubling dispatched
+        thousands of tiny unrolled-CIOS ops through the remote TPU tunnel -
+        ~70 s per table); big domains keep ONE jitted rolled-glue device
+        program (at 2^26 a host loop is ~10^8 Python iterations)."""
+        g = self.omegainv if inverse else self.omega
+        log2n = max(self.exp - 1, 0)
+        if log2n <= 19:
+            from .pallas_ntt import _host_mont_geom
+
+            return np.ascontiguousarray(_host_mont_geom(g, 1 << log2n).T)
         with jax.ensure_compile_time_eval():
-            table = _power_table(
-                self.omegainv if inverse else self.omega, max(self.exp - 1, 0)
-            )
+            # one dispatch: the jit wrapper + rolled mont glue keep both the
+            # tunnel round-trips and the trace size O(log m)
+            with fp.force_rolled():
+                table = jax.jit(_power_table, static_argnums=(0, 1))(g, log2n)
         return np.asarray(table)
 
     @functools.lru_cache(maxsize=None)
@@ -268,7 +274,9 @@ def _power_table(g: int, log2n: int) -> jnp.ndarray:
 @functools.partial(jax.jit, static_argnums=(0, 2))
 def distribute_powers(exp: int, coeffs: jnp.ndarray, g: int) -> jnp.ndarray:
     """coeffs[i] *= g^i (domain.rs:176-189); g is host-known."""
-    return fp.mont_mul(CTX_R, coeffs, _power_table(g, exp))
+    with fp.force_rolled():  # keep the log-doubling trace O(exp), not O(exp*512)
+        table = _power_table(g, exp)
+    return fp.mont_mul(CTX_R, coeffs, table)
 
 
 def coset_ntt(exp: int, coeffs: jnp.ndarray) -> jnp.ndarray:

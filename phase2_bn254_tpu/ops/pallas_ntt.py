@@ -76,23 +76,36 @@ def _colwise_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return fp.mont_mul(CTX_R, jnp.moveaxis(a, 0, -1), jnp.moveaxis(b, 0, -1)).T
 
 
+def _host_mont_geom(ratio: int, count: int, start: int = 1) -> np.ndarray:
+    """uint32[16, count] Montgomery limbs of start * ratio^j, computed with
+    host Python ints (NO device dispatches: the old eager-jax construction
+    issued thousands of tiny ops through the remote TPU tunnel and cost
+    ~70 s of every NTT trace - the r4/r5 bench 'NTT wedge')."""
+    p = R_MOD
+    v = (start * CTX_R.r) % p  # Montgomery form of start
+    buf = bytearray()
+    for _ in range(count):
+        buf += v.to_bytes(32, "little")
+        v = (v * ratio) % p
+    arr = np.frombuffer(bytes(buf), dtype="<u2").reshape(count, 16).astype(np.uint32)
+    return np.ascontiguousarray(arr.T)
+
+
 @functools.lru_cache(maxsize=None)
 def _pass_tables(log2c: int, omega: int):
     """Stage twiddle table (S, 16, C) for a size-C lane DFT with root omega
     (host int, canonical). Stage s holds omega_m^(j mod h) expanded to every
     lane j (m = 2^s, h = m/2), i.e. the w of lane j's butterfly pair."""
-    with jax.ensure_compile_time_eval():
-        c = 1 << log2c
-        w_mont = jnp.asarray(fp.int_to_limbs(CTX_R.to_mont_int(omega)))
-        pw = _geom_powers_t(w_mont, log2c)  # (16, C): pw[:, j] = omega^j
-        stages = []
-        lane = np.arange(c, dtype=np.int32)
-        for s in range(1, log2c + 1):
-            m = 1 << s
-            h = m >> 1
-            idx = (lane % h) * (c // m)  # omega_m^(j mod h) = omega^((j mod h)*C/m)
-            stages.append(pw[:, jnp.asarray(idx)])
-        return jax.device_get(jnp.stack(stages))
+    c = 1 << log2c
+    pw = _host_mont_geom(omega, c)  # (16, C): pw[:, j] = omega^j
+    stages = []
+    lane = np.arange(c, dtype=np.int32)
+    for s in range(1, log2c + 1):
+        m = 1 << s
+        h = m >> 1
+        idx = (lane % h) * (c // m)  # omega_m^(j mod h) = omega^((j mod h)*C/m)
+        stages.append(pw[:, idx])
+    return np.stack(stages)
 
 
 @functools.lru_cache(maxsize=None)
@@ -122,22 +135,27 @@ def _lane_dft_kernel(log2c: int, rows: int, twiddled: bool,
     """
     ops = _fr_ops(p_ref)
     c = 1 << log2c
-    interp = jax.default_backend() == "cpu"
-    roll = (lambda a, s: jnp.roll(a, s, 2)) if interp else (
-        lambda a, s: pltpu.roll(a, s % c, 2)
-    )
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, c), 2)
     x = x_ref[:]
-    for s in range(1, log2c + 1):
-        h = 1 << (s - 1)
+
+    # The stage cascade runs as ONE fori_loop with a dynamic lane roll and a
+    # dynamic tw_ref stage index (the same pattern as pallas_msm's suffix
+    # kernel). Unrolling the log2c stages - each ~3 unrolled CIOS muls over a
+    # (16, rows, C) tile - made the Mosaic compile of the 2^20..2^24 domains
+    # take 15+ minutes, which is what every round's bench recorded as the
+    # "fr_ntt tunnel wedge".
+    def stage(s, x):
+        h = (jnp.int32(1) << (s - 1)).astype(jnp.int32)
         is_even = (lane & h) == 0  # lane mod 2h < h
         tw = tw_ref[s - 1][:, None, :]  # (16, 1, C)
-        fwd = roll(x, -h)  # x[j+h]
-        bwd = roll(x, h)   # x[j-h]
+        fwd = pltpu.roll(x, (c - h) % c, 2)  # x[j+h]
+        bwd = pltpu.roll(x, h % c, 2)        # x[j-h]
         odd_val = jnp.where(is_even, fwd, x)    # x[jo] at both lanes
         even_val = jnp.where(is_even, x, bwd)   # x[je] at both lanes
         t = ops.mont_mul(odd_val, tw)
-        x = jnp.where(is_even, ops.add(even_val, t), ops.sub(even_val, t))
+        return jnp.where(is_even, ops.add(even_val, t), ops.sub(even_val, t))
+
+    x = jax.lax.fori_loop(1, log2c + 1, stage, x)
     if not twiddled:
         o_ref[:] = ops.canon_out(x)
     else:
@@ -192,11 +210,20 @@ def _inter_tables_traced(log2c: int, omega_n: int, rows: int, n_tiles: int, scal
 
 @functools.lru_cache(maxsize=None)
 def _inter_tables(log2c: int, omega_n: int, rows: int, n_tiles: int, scale: int = 1):
-    """Host-cached constant variant of _inter_tables_traced (fast reuse for
-    the small domains where the tables are a few MB)."""
-    with jax.ensure_compile_time_eval():
-        u_pw, sf_all = _inter_tables_traced(log2c, omega_n, rows, n_tiles, scale)
-        return jax.device_get(u_pw), jax.device_get(sf_all)
+    """Host-constant variant of _inter_tables_traced (pure Python-int
+    modular arithmetic - no device dispatches; fast reuse for the small
+    domains where the tables are a few MB)."""
+    c = 1 << log2c
+    u_pw = _host_mont_geom(omega_n, c)
+    p = R_MOD
+    step = pow(omega_n, rows, p)  # u^rows
+    sf = np.empty((n_tiles, NLIMBS, c), np.uint32)
+    ratio = 1  # step^g
+    for g in range(n_tiles):
+        # sf[g, :, lane] = mont(scale * omega_n^(lane * g * rows))
+        sf[g] = _host_mont_geom(ratio, c, start=scale)
+        ratio = (ratio * step) % p
+    return u_pw, sf
 
 
 def _lane_dft_pass(x3: jnp.ndarray, log2c: int, omega: int,
@@ -221,8 +248,10 @@ def _lane_dft_pass(x3: jnp.ndarray, log2c: int, omega: int,
             u_in, sf_all = jnp.asarray(u_np), jnp.asarray(sf_np)
         else:
             # big domains: build on device per call instead of baking a
-            # multi-hundred-MB constant into the program
-            u_in, sf_all = _inter_tables_traced(log2c, omega_n, rows, grid[0], scale)
+            # multi-hundred-MB constant into the program (rolled mont_mul
+            # glue: the unrolled CIOS made this trace minutes-long)
+            with fp.force_rolled():
+                u_in, sf_all = _inter_tables_traced(log2c, omega_n, rows, grid[0], scale)
     else:
         sf_all = jnp.zeros((grid[0], NLIMBS, c), U32)
         u_in = jnp.zeros((NLIMBS, c), U32)
@@ -295,12 +324,12 @@ def ntt_pallas(exp: int, coeffs: jnp.ndarray, inverse: bool) -> jnp.ndarray:
 
 
 def _rows_per_tile(log2_rows_total: int, log2_lanes: int) -> int:
-    """Pick the sublane tile height: keep each (16, rows, C) block <= ~4 MiB
-    (mont temps fit the raised 100M scoped-VMEM window), minimum 8 sublanes.
-    Bigger tiles matter beyond exp=22: tile count drives both the
-    inter-twiddle start-factor stack (one concat per tile at trace time -
-    512 tiles made the 2^24 XLA compile take ~24 min) and grid overhead."""
+    """Pick the sublane tile height: keep each (16, rows, C) block <= ~1 MiB,
+    minimum 8 sublanes. Mosaic emits per-vreg code, so instruction count (and
+    compile time) scales with 16 * rows/8 * C/128 per op site - the old 4 MiB
+    tiles put the 2^20+ compiles in the tens of minutes. Tile count only adds
+    grid overhead (ns per tile), so small tiles are near-free at run time."""
     total = 1 << log2_rows_total
-    budget = (4 << 20) // (NLIMBS * (1 << log2_lanes) * 4)
+    budget = (1 << 20) // (NLIMBS * (1 << log2_lanes) * 4)
     rows = max(8, 1 << max(budget.bit_length() - 1, 0))
     return min(rows, total)
