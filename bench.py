@@ -278,12 +278,14 @@ def _entry_contribute(name, size, batch):
 
 
 METRICS = [
-    # (name, est_cost_s, thunk)
+    # (name, est_cost_s, thunk). NTT costs re-measured 2026-08-20 after the
+    # rolled-stage kernel fix: trace+compile+first = 64/82/94 s cold at
+    # 2^20/22/24 (was 375+ s compile alone - the perennial "NTT wedge").
     ("g1_batch_exp_2^16", 120.0, lambda: _entry_batch_exp("g1_batch_exp_2^16", "g1", 16, reps=5)),
     ("g1_msm_pallas_2^20", 150.0, lambda: _entry_msm("g1_msm_pallas_2^20", 20, reps=2)),
-    ("fr_ntt_2^20", 60.0, lambda: _entry_ntt("fr_ntt_2^20", 20, reps=3)),
-    ("fr_ntt_2^22", 60.0, lambda: _entry_ntt("fr_ntt_2^22", 22, reps=2)),
-    ("fr_ntt_2^24", 75.0, lambda: _entry_ntt("fr_ntt_2^24", 24, reps=2)),
+    ("fr_ntt_2^20", 90.0, lambda: _entry_ntt("fr_ntt_2^20", 20, reps=3)),
+    ("fr_ntt_2^22", 100.0, lambda: _entry_ntt("fr_ntt_2^22", 22, reps=2)),
+    ("fr_ntt_2^24", 120.0, lambda: _entry_ntt("fr_ntt_2^24", 24, reps=2)),
     ("g2_batch_exp_2^16", 190.0, lambda: _entry_batch_exp("g2_batch_exp_2^16", "g2", 16, reps=3, g2=True)),
     ("contribute_e2e_size14", 180.0, lambda: _entry_contribute("contribute_e2e_size14", 14, 1 << 13)),
     # large production chunk shape (full 2^21 as ONE kernel call OOMs the

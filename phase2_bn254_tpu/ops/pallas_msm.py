@@ -114,7 +114,9 @@ def jac_madd(ops, P, qx, qy, q_valid, one):
 # ---------------------------------------------------------------------------
 
 
-def _wave_kernel(pprime, comps, pack, kt, p_ref, one_ref, valid_ref, wave_ref, *out_refs):
+def _wave_kernel(
+    pprime, comps, pack, kt, signed, p_ref, one_ref, valid_ref, wave_ref, *out_refs
+):
     """Grid (bucket tiles, W); out refs hold the bucket accumulators and are
     revisited across the wave dimension (index map drops it). wave_ref packs
     `pack` consecutive sorted points, each x||y (component-major) on the
@@ -126,7 +128,12 @@ def _wave_kernel(pprime, comps, pack, kt, p_ref, one_ref, valid_ref, wave_ref, *
     natural (W, B, row) layout and are transposed to (row, B) in VMEM,
     saving the per-window XLA transpose's HBM round-trip (~2x the payload
     traffic per window). Requires the packed row width to be lane-aligned
-    (multiple of 128 columns)."""
+    (multiple of 128 columns).
+
+    signed: validity entries are tri-state (0 = invalid, 1 = add, 2 =
+    subtract); subtracted lanes negate qy (one borrow chain) before the
+    madd - the signed-digit Pippenger halves the bucket count per window
+    so 254-bit scalars fit 16 one-limb windows instead of 20."""
     k = pl.program_id(1)
     base = TOps(p_ref[:], pprime, lazy=True)
     one_b = one_ref[:]
@@ -168,6 +175,15 @@ def _wave_kernel(pprime, comps, pack, kt, p_ref, one_ref, valid_ref, wave_ref, *
                 wave_t[off + 3 * nl : off + 4 * nl],
             )
         valid = valid_t[j : j + 1] != 0  # (1, Btile) mask
+        if signed:
+            neg = valid_t[j : j + 1] == 2
+            if comps == 1:
+                qy = ops.sel(neg, ops.sub(zero_b, qy), qy)
+            else:
+                qy = (
+                    ops.f.sel(neg, ops.f.sub(zero_b, qy[0]), qy[0]),
+                    ops.f.sel(neg, ops.f.sub(zero_b, qy[1]), qy[1]),
+                )
         acc = jac_madd(ops, acc, qx, qy, valid, one)
 
     x, y, z = acc
@@ -179,10 +195,13 @@ def _wave_kernel(pprime, comps, pack, kt, p_ref, one_ref, valid_ref, wave_ref, *
         out_refs[4][:], out_refs[5][:] = z
 
 
-def _wave_accumulate(comps, pack, wave_packed, valid, btile: int, kt: bool = False):
+def _wave_accumulate(
+    comps, pack, wave_packed, valid, btile: int, kt: bool = False, signed: bool = False
+):
     """wave_packed: uint32[W, pack*2*comps*NL, B] (pack consecutive sorted
     points, each x||y component-major, stacked on sublanes); valid:
-    int32[W, pack, B]. Returns 3*comps bucket planes uint32[NL, B].
+    int32[W, pack, B] (tri-state 0/1/2 when signed). Returns 3*comps bucket
+    planes uint32[NL, B].
 
     kt: arrays arrive untransposed - wave_packed uint32[W, B, pack*2*comps*NL]
     and valid int32[W, B, pack], exactly as the XLA row gather produces them;
@@ -215,11 +234,14 @@ def _wave_accumulate(comps, pack, wave_packed, valid, btile: int, kt: bool = Fal
     p_col = jnp.broadcast_to(jnp.asarray(_P_LIMBS, U32)[:, None], (nl, btile))
     one_col = jnp.broadcast_to(jnp.asarray(_ONE_MONT, U32)[:, None], (nl, btile))
     return pl.pallas_call(
-        functools.partial(_wave_kernel, _PPRIME, comps, pack, kt),
+        functools.partial(_wave_kernel, _PPRIME, comps, pack, kt, signed),
         grid=grid,
         in_specs=[spec_const, spec_const, spec_valid, spec_wave],
         out_specs=[spec_out] * (3 * comps),
         out_shape=out_shape,
+        # signed-mode B=2^14+ bucket planes with pack=8 rows exceed the 16M
+        # default scoped window (r5 sweep: OOM at 16.36M); v5e VMEM is 128M
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() == "cpu",
     )(p_col, one_col, valid, wave_packed)
 
@@ -349,6 +371,20 @@ def _window_groups(c: int) -> np.ndarray:
     return np.array(gs, dtype=np.int32)
 
 
+def _window_groups_signed(c: int) -> np.ndarray:
+    """Signed-mode lane-group factors over B = 2^(c-1) buckets of weight
+    (digit = lane//G + 1). Body windows: G=1 (every lane its own bucket).
+    The top window's digits are non-negative and <= 2^topbits (carry
+    included), so its buckets get G = 2^(c-1-topbits) lanes each - without
+    this the c=14 top window (2 digit bits) piles N/4 points per bucket and
+    every size falls off the fast path (r5 v5e sweep)."""
+    n_windows = -(-SCALAR_BITS // c)
+    gs = [1] * (n_windows - 1)
+    topbits = SCALAR_BITS - c * (n_windows - 1)
+    gs.append(1 << max(c - 1 - topbits, 0))
+    return np.array(gs, dtype=np.int32)
+
+
 @functools.partial(jax.jit, static_argnums=(2,))
 def _prep_windows(scalars_canon, inf_mask, c: int):
     """Digits + per-window sort + bucket boundaries. Returns (orders, starts,
@@ -361,13 +397,15 @@ def _prep_windows(scalars_canon, inf_mask, c: int):
     sort on v5e (~50 ms vs 1.4 ms per window at 2^20) - the r3 "argsort is
     half the MSM" cost was really the scan structure, not the sort.
 
-    dstars[w] = the heaviest nonzero bucket of window w; occs = max bucket
-    occupancy [including, excluding] the heaviest bucket, both already
-    divided by the per-window group factors. The dispatcher uses occ[1] to
-    keep the dense wave grid small under single-hot-bucket skew (repeated
-    scalar values - the multiexp.rs:95-102 scalar==one special case
-    generalized to any constant): the hot bucket is summed separately by a
-    dense pass and folded in with weight dstar at window-combine time."""
+    dstars[w] = the heaviest nonzero bucket of window w; occs = [max bucket
+    occupancy including the heaviest bucket, ditto excluding it (both
+    already divided by the per-window group factors), raw point count of the
+    heaviest bucket across all windows]. The dispatcher uses occ[1] to keep
+    the dense wave grid small under single-hot-bucket skew (repeated scalar
+    values - the multiexp.rs:95-102 scalar==one special case generalized to
+    any constant): the hot bucket is summed separately by a dense pass
+    (bounded by occ[2] - ADVICE r4) and folded in with weight dstar at
+    window-combine time."""
     from . import msm as msm_mod
 
     n_windows = -(-SCALAR_BITS // c)
@@ -395,8 +433,70 @@ def _prep_windows(scalars_canon, inf_mask, c: int):
     occ_all = jnp.max(-(-counts_nz // gs))
     counts2 = jnp.where(bucket_ids[None, :] == dstars[:, None], 0, counts_nz)
     occ2 = jnp.max(-(-counts2 // gs))
-    occs = jnp.stack([occ_all, occ2]).astype(jnp.int32)
+    occ_hot = jnp.max(counts_nz)  # raw count of the heaviest bucket anywhere
+    occs = jnp.stack([occ_all, occ2, occ_hot]).astype(jnp.int32)
     return orders, starts.astype(jnp.int32), counts, dstars, occs
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _prep_windows_signed(scalars_canon, inf_mask, c: int):
+    """Signed-digit window prep: digits e_w in [-2^(c-1), 2^(c-1)-1] via the
+    standard carry recode (e = d + carry; e >= 2^(c-1) -> e -= 2^c, carry 1),
+    bucketed on |e| - 1 so B = 2^(c-1) lanes ALL carry weight (lane + 1) and
+    sign folds into the wave madd. At c = 16 each window is exactly one
+    16-bit scalar limb and 254-bit scalars need 16 windows instead of the
+    unsigned path's 20 at c = 13 - the permutation gathers (the MSM's cost
+    ceiling) shrink proportionally.
+
+    Sort key = 2*(|e|-1) + (e > 0), so each bucket's run is negatives-first
+    and the split position recovers per-point signs with table lookups only
+    (no extra N-row gather). Zero digits and infinity points key to the 2B
+    sentinel (sorted past every bucket).
+
+    Returns (orders, starts, splits, counts, dstars, occs): splits[w, b] =
+    absolute sorted position where bucket b's positives begin; occs =
+    [max occupancy, ditto excluding each window's heaviest bucket, raw max
+    hot-bucket count] (weight groups don't exist here - every lane is its
+    own bucket)."""
+    from . import msm as msm_mod
+
+    n_windows = -(-SCALAR_BITS // c)
+    n = scalars_canon.shape[0]
+    half = 1 << (c - 1)
+    full = 1 << c
+    digits = [msm_mod._window_digits(scalars_canon, c, w).astype(jnp.int32) for w in range(n_windows)]
+    carry = jnp.zeros(scalars_canon.shape[:-1], jnp.int32)
+    signed_digits = []
+    for w in range(n_windows):
+        e = digits[w] + carry
+        wrap = e >= half
+        e = jnp.where(wrap, e - full, e)
+        carry = wrap.astype(jnp.int32)
+        signed_digits.append(e)
+    # scalars < 2^254 guarantee the top window absorbs the carry (e < 2^(c-1))
+    all_e = jnp.stack(signed_digits)
+    all_e = jnp.where(inf_mask[None, :], 0, all_e)
+    b = half
+    keys = jnp.where(
+        all_e == 0,
+        2 * b,
+        2 * (jnp.abs(all_e) - 1) + (all_e > 0).astype(jnp.int32),
+    )
+    bucket_ids = jax.lax.broadcasted_iota(jnp.int32, (b, 1), 0)[:, 0]
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (n_windows, n))
+    sorted_k, orders = jax.lax.sort((keys, iota), dimension=1, num_keys=1, is_stable=False)
+    starts = jax.vmap(lambda sk: jnp.searchsorted(sk, 2 * bucket_ids, side="left"))(sorted_k)
+    splits = jax.vmap(lambda sk: jnp.searchsorted(sk, 2 * bucket_ids + 1, side="left"))(sorted_k)
+    ends = jax.vmap(lambda sk: jnp.searchsorted(sk, 2 * bucket_ids + 1, side="right"))(sorted_k)
+    counts = (ends - starts).astype(jnp.int32)
+    gs = jnp.asarray(_window_groups_signed(c))[:, None]
+    dstars = jnp.argmax(counts, axis=1).astype(jnp.int32)
+    occ_all = jnp.max(-(-counts // gs))
+    counts2 = jnp.where(bucket_ids[None, :] == dstars[:, None], 0, counts)
+    occ2 = jnp.max(-(-counts2 // gs))
+    occ_hot = jnp.max(counts)  # raw count (the dense pass sweeps sorted rows)
+    occs = jnp.stack([occ_all, occ2, occ_hot]).astype(jnp.int32)
+    return orders, starts.astype(jnp.int32), splits.astype(jnp.int32), counts, dstars, occs
 
 
 def _packed_rows(batch: G.AffineBatch, comps: int):
@@ -510,7 +610,7 @@ def _combine_windows(comps, c, sums_msb, sums2_msb=None, bits_msb=None):
     )(*args)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6))
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8))
 def _msm_main(
     comps,
     c: int,
@@ -519,9 +619,12 @@ def _msm_main(
     pack: int,
     exclude: bool,
     kt: bool,
+    w3: int,
+    signed: bool,
     packed,
     orders,
     starts,
+    splits,
     counts,
     dstars,
 ):
@@ -543,9 +646,17 @@ def _msm_main(
     sorted payload (its points are one contiguous sorted run - no extra
     gather); the combine kernel folds in digit * sum. This keeps repeated
     scalar values (witness bits, scalar==one crowds - multiexp.rs:95-102) on
-    the fast path instead of the rolled XLA fallback."""
+    the fast path instead of the rolled XLA fallback. `w3` (static) bounds
+    the dense pass to the (w3, B) blocks that can overlap the hot run -
+    sized by the dispatcher from the max hot-bucket count (ADVICE r4) - via
+    a dynamic slice of the block-padded sorted payload.
+
+    `signed` (static): signed-digit mode - B = 2^(c-1) buckets of weight
+    (lane + 1), tri-state validity carrying per-point signs (recovered from
+    the negatives-first split positions, no extra gather), all-lane suffix
+    weight mask, and hot-bucket weight dstar + 1 (see _prep_windows_signed)."""
     n = packed.shape[0]
-    b = 1 << c
+    b = 1 << (c - 1) if signed else 1 << c
     w2 = w_cap  # waves of `pack` points each (sized by the dispatcher)
     rows_pk = n // pack
 
@@ -553,7 +664,7 @@ def _msm_main(
     lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, b), 1)
 
     def per_window(_, xs):
-        order, starts_w, counts_w, dstar, g = xs
+        order, starts_w, splits_w, counts_w, dstar, g = xs
         counts_eff = (
             jnp.where(lane_row[0, : counts_w.shape[0]] == dstar, 0, counts_w)
             if exclude
@@ -574,10 +685,20 @@ def _msm_main(
         q = (lo + pack * wave_ids) // pack  # (w2, B) packed-row ids
         qc = jnp.minimum(q, rows_pk - 1)
         pos0 = pack * q
-        valids = [
-            ((pos0 + j >= lo) & (pos0 + j < hi) & (digit_row != 0)).astype(jnp.int32)
-            for j in range(pack)
-        ]
+        if signed:
+            sp = splits_w[digit_row]  # positives begin here (negatives first)
+            valids = [
+                (
+                    ((pos0 + j >= lo) & (pos0 + j < hi)).astype(jnp.int32)
+                    * (2 - (pos0 + j >= sp).astype(jnp.int32))
+                )
+                for j in range(pack)
+            ]
+        else:
+            valids = [
+                ((pos0 + j >= lo) & (pos0 + j < hi) & (digit_row != 0)).astype(jnp.int32)
+                for j in range(pack)
+            ]
         packed_sorted = packed[order]  # (N, 2*comps*NL) wide gather
         packed_pk = packed_sorted.reshape(rows_pk, pack * packed.shape[1])
         if kt:
@@ -588,42 +709,74 @@ def _msm_main(
         else:
             valid = jnp.stack(valids, axis=1)  # (w2, pack, B)
             wave_packed = jnp.transpose(packed_pk[qc], (0, 2, 1))
-        buckets = _wave_accumulate(comps, pack, wave_packed, valid, btile, kt)
-        wmask = ((lane_row % g == 0) & (lane_row != 0)).astype(jnp.int32)
+        buckets = _wave_accumulate(comps, pack, wave_packed, valid, btile, kt, signed)
+        if signed:
+            # lane weight = lane//g + 1: marking every g-th lane INCLUDING
+            # lane 0 makes the suffix-sum count exactly that (for body
+            # windows g=1: all lanes marked, weight lane+1)
+            wmask = (lane_row % g == 0).astype(jnp.int32)
+        else:
+            wmask = ((lane_row % g == 0) & (lane_row != 0)).astype(jnp.int32)
         sums = _suffix_reduce(comps, wmask, buckets)  # 3*comps of (NL, 128)
         out = jnp.concatenate(sums, axis=0)
         if not exclude:
             return None, out
         # hot-bucket dense pass: its points are the contiguous sorted run
-        # [lo_s, hi_s); sweep ALL rows of the sorted payload in natural
-        # (w3, B) order with a range mask - a reshape, not another gather
+        # [lo_s, hi_s); sweep only the w3 (B-row) blocks that can overlap it
+        # (dynamic slice of the block-padded sorted payload) with a range
+        # mask - a slice + reshape, not another gather (ADVICE r4: the old
+        # full-payload sweep made the dense pass dominate at large N/B)
         lo_s = starts_w[dstar]
         hi_s = lo_s + counts_w[dstar]
-        w3 = rows_pk // b
+        blocks = -(-rows_pk // b)
+        rows_pad = blocks * b
+        pk_pad = (
+            packed_pk
+            if rows_pad == rows_pk
+            else jnp.concatenate(
+                [packed_pk, jnp.zeros((rows_pad - rows_pk, packed_pk.shape[1]), U32)]
+            )
+        )
+        start_blk = jnp.clip(lo_s // (pack * b), 0, blocks - w3)
+        window_rows = jax.lax.dynamic_slice(
+            pk_pad, (start_blk * b, jnp.int32(0)), (w3 * b, packed_pk.shape[1])
+        )
         k3 = jax.lax.broadcasted_iota(jnp.int32, (w3, b), 0)
         l3 = jax.lax.broadcasted_iota(jnp.int32, (w3, b), 1)
-        pos3 = pack * (k3 * b + l3)
-        valids2 = [
-            ((pos3 + j >= lo_s) & (pos3 + j < hi_s)).astype(jnp.int32) for j in range(pack)
-        ]
+        pos3 = pack * ((start_blk + k3) * b + l3)
+        if signed:
+            sp_s = splits_w[dstar]
+            valids2 = [
+                (
+                    ((pos3 + j >= lo_s) & (pos3 + j < hi_s)).astype(jnp.int32)
+                    * (2 - (pos3 + j >= sp_s).astype(jnp.int32))
+                )
+                for j in range(pack)
+            ]
+        else:
+            valids2 = [
+                ((pos3 + j >= lo_s) & (pos3 + j < hi_s)).astype(jnp.int32)
+                for j in range(pack)
+            ]
         if kt:
-            wave2 = packed_pk.reshape(w3, b, packed_pk.shape[1])
+            wave2 = window_rows.reshape(w3, b, packed_pk.shape[1])
             valid2 = jnp.stack(valids2, axis=-1)
         else:
-            wave2 = jnp.transpose(packed_pk.reshape(w3, b, packed_pk.shape[1]), (0, 2, 1))
+            wave2 = jnp.transpose(window_rows.reshape(w3, b, packed_pk.shape[1]), (0, 2, 1))
             valid2 = jnp.stack(valids2, axis=1)
-        buckets2 = _wave_accumulate(comps, pack, wave2, valid2, btile, kt)
+        buckets2 = _wave_accumulate(comps, pack, wave2, valid2, btile, kt, signed)
         wmask0 = (lane_row == 0).astype(jnp.int32)
         sums2 = _suffix_reduce(comps, wmask0, buckets2)
         return None, (out, jnp.concatenate(sums2, axis=0))
 
     # windows MSB-first
-    gs = jnp.asarray(_window_groups(c))
-    xs = (orders[::-1], starts[::-1], counts[::-1], dstars[::-1], gs[::-1])
+    gs = jnp.asarray(_window_groups_signed(c) if signed else _window_groups(c))
+    xs = (orders[::-1], starts[::-1], splits[::-1], counts[::-1], dstars[::-1], gs[::-1])
     _, scanned = jax.lax.scan(per_window, None, xs)
     if exclude:
         sums_msb, sums2_msb = scanned
-        bits = ((dstars[::-1, None] >> jnp.arange(c)[None, :]) & 1).astype(jnp.int32)
+        weights = dstars + 1 if signed else dstars  # hot-bucket fold weight
+        bits = ((weights[::-1, None] >> jnp.arange(c)[None, :]) & 1).astype(jnp.int32)
         bits_msb = jnp.broadcast_to(bits[:, :, None], bits.shape + (128,))
         planes = _combine_windows(comps, c, sums_msb, sums2_msb, bits_msb)
     else:
@@ -638,9 +791,40 @@ def _msm_main(
 
 
 def pick_window(n: int) -> int:
-    """Window size for the Pallas path: minimizes nwin*(N + slack*B) + fixed
-    suffix cost, empirically c ~ log2(N) - 7, clamped to [8, 13]."""
+    """Window size for the unsigned Pallas path: minimizes nwin*(N + slack*B)
+    + fixed suffix cost, empirically c ~ log2(N) - 7, clamped to [8, 13]."""
     return max(8, min(13, n.bit_length() - 8))
+
+
+def pick_window_signed(n: int) -> int:
+    """Window size for the signed-digit path (B = 2^(c-1) buckets): the
+    per-window gather cost ~N(1+1/pack) rows dominates the per-window suffix
+    cost ~B*2log2(B) lane steps, so larger c (fewer windows) wins once N
+    covers the bucket planes; c = 16 makes each window one 16-bit limb
+    (v5e sweep 2026-08-20: c=16 beats 14/15 at 2^18..2^20)."""
+    return max(8, min(16, n.bit_length() - 4))
+
+
+def _signed_mode() -> bool:
+    """Signed-digit Pippenger is OPT-IN (PHASE2_TPU_MSM_SIGNED=1).
+
+    Measured negative result (v5e 2^20, 2026-08-20): signed c=14 pack=4
+    reaches 509k pts/s vs unsigned c=13's 531k - the ~5% window reduction
+    (19 vs 20) is outweighed by the tri-state valid handling, per-madd
+    negate select, and split-table lookups; c=15 (B=2^14) loses its window
+    savings to the suffix kernel's 2x lane work (430k), and c=16 (B=2^15)
+    cannot compile the single-kernel suffix scan (186M VMEM register
+    spill). A two-level suffix reduction (7*B in-segment steps + cross-
+    segment weighted fold instead of 2*log2(B)*B) would cut the suffix
+    cost ~4x and likely flip c=15/16 positive - designed, not built
+    (ROADMAP round 5)."""
+    import os
+
+    return os.environ.get("PHASE2_TPU_MSM_SIGNED", "").strip().lower() in (
+        "1",
+        "true",
+        "on",
+    )
 
 
 def _result_to_jac(comps, result) -> G.JacobianBatch:
@@ -675,15 +859,21 @@ def _kt_mode(comps: int, pack: int) -> bool:
     PHASE2_TPU_MSM_KT=0 restores the XLA transpose path."""
     import os
 
-    if os.environ.get("PHASE2_TPU_MSM_KT") == "0":
+    if os.environ.get("PHASE2_TPU_MSM_KT", "").strip().lower() in ("0", "false", "off"):
         return False
     return (pack * 2 * comps * NLIMBS) % 128 == 0
 
 
-def _wave_cap(max_occ: int, pack: int) -> int:
+def _wave_cap(max_occ: int, pack: int, b: int = 0) -> int:
     """Static wave count: ceil(max_occ/pack) + 1 (the +1 absorbs packed-row
-    start misalignment), rounded up for compile-cache-friendly shapes."""
+    start misalignment), rounded up for compile-cache-friendly shapes.
+
+    At b >= 2^14 bucket lanes each extra wave costs a full B-row gather
+    (~1.5 ms at B=2^15), so big-B grids round to 4 instead of 8 - the
+    coarse rounding wasted up to 78% of the wave gather there."""
     w2 = -(-max_occ // pack) + 1
+    if b >= (1 << 14) and w2 <= 64:
+        return -(-w2 // 4) * 4
     return -(-w2 // 8) * 8 if w2 <= 64 else -(-w2 // 32) * 32
 
 
@@ -694,10 +884,16 @@ def msm_pallas_or_none(
     c: int | None = None,
     btile: int = 2048,
     pack: int | None = None,
+    signed: bool | None = None,
 ):
     """Device Pippenger through the Mosaic kernels; returns a JacobianBatch
     with batch shape (), or None when the digit distribution is too skewed
     for the dense wave grid (caller falls back to ops/msm.py).
+
+    Default mode is the signed-digit formulation (`signed`): B = 2^(c-1)
+    buckets per window, signs folded into the wave madd, 16 one-limb windows
+    at c = 16 instead of 20 at c = 13 - ~20% fewer rows through the
+    permutation gathers that bound the MSM.
 
     Single-hot-bucket skew (repeated scalar values: witness bits, constant
     scalars - the multiexp.rs:95-102 special cases) stays on the fast path:
@@ -707,11 +903,21 @@ def msm_pallas_or_none(
 
     scalars_canon: uint32[N, 16] canonical (NOT Montgomery)."""
     n = batch.inf.shape[0]
+    if signed is None:
+        signed = _signed_mode()
+    if signed and c is not None and (1 << (c - 1)) < 128:
+        signed = False  # suffix kernel needs >=128 bucket lanes
     if c is None:
-        c = pick_window(n)
-    b = 1 << c
-    orders, starts, counts, dstars, occs = _prep_windows(scalars_canon, batch.inf, c)
-    occ_all, occ2 = (int(v) for v in np.asarray(occs))  # one host sync per MSM
+        c = pick_window_signed(n) if signed else pick_window(n)
+    b = 1 << (c - 1) if signed else 1 << c
+    if signed:
+        orders, starts, splits, counts, dstars, occs = _prep_windows_signed(
+            scalars_canon, batch.inf, c
+        )
+    else:
+        orders, starts, counts, dstars, occs = _prep_windows(scalars_canon, batch.inf, c)
+        splits = starts  # no sign split: every point adds positively
+    occ_all, occ2, occ_hot = (int(v) for v in np.asarray(occs))  # one host sync per MSM
     mean = max(1, n // b)
     gate = 4 * mean + 64
     if pack is None:
@@ -720,20 +926,28 @@ def msm_pallas_or_none(
         pack //= 2
     if occ_all == 0:
         return None  # all-zero scalars: caller's XLA path handles trivially
+    w3 = 0
     if occ_all <= gate:
         exclude = False
-        w_cap = _wave_cap(occ_all, pack)
-    elif occ2 <= gate and (n // pack) % b == 0:
+        w_cap = _wave_cap(occ_all, pack, b)
+    elif occ2 <= gate:
         exclude = True
-        w_cap = _wave_cap(max(occ2, 1), pack)
+        w_cap = _wave_cap(max(occ2, 1), pack, b)
+        # dense-pass block count: bound the sweep to the blocks the hot run
+        # can overlap (ADVICE r4); rounded for compile-cache-friendly shapes
+        blocks = -(-(n // pack) // b)
+        w3 = (occ_hot // pack) // b + 3
+        if w3 > 8:
+            w3 = -(-w3 // 8) * 8
+        w3 = min(w3, blocks)
     else:
-        # multiple oversized buckets (adversarial), or the payload is too
-        # small to reshape into (w3, B) dense waves: XLA fallback
+        # multiple oversized buckets per window (genuinely adversarial
+        # distributions): XLA fallback
         return None
     comps = 1 if group == "g1" else 2
     packed = _packed_rows(batch, comps)
     result = _msm_main(
-        comps, c, w_cap, btile, pack, exclude, _kt_mode(comps, pack),
-        packed, orders, starts, counts, dstars,
+        comps, c, w_cap, btile, pack, exclude, _kt_mode(comps, pack), w3, signed,
+        packed, orders, starts, splits, counts, dstars,
     )
     return _result_to_jac(comps, result)

@@ -253,21 +253,22 @@ def _msm_local(f, c: int, batch, scalars):
 
 
 def _msm_local_pallas(
-    f, comps, c, w_cap, btile, pack, exclude, kt, batch, orders, starts, counts, dstars
+    f, comps, c, w_cap, btile, pack, exclude, kt, w3, signed,
+    batch, orders, starts, splits, counts, dstars,
 ):
     """Per-device Pallas Pippenger (the Mosaic wave/suffix/combine pipeline
     from ops/pallas_msm.py) over the local shard + all_gather combination.
 
-    (orders, starts, counts, dstars) are the per-shard window preprocessing,
-    computed once in sharded_msm (the data-dependent wave cap w_cap must be a
-    static kernel parameter, so the occupancy host-pull happens before
-    shard_map)."""
+    (orders, starts, splits, counts, dstars) are the per-shard window
+    preprocessing, computed once in sharded_msm (the data-dependent wave cap
+    w_cap must be a static kernel parameter, so the occupancy host-pull
+    happens before shard_map)."""
     from ..ops import pallas_msm
 
     packed = pallas_msm._packed_rows(batch, comps)
     result = pallas_msm._msm_main(
-        comps, c, w_cap, btile, pack, exclude, kt,
-        packed, orders[0], starts[0], counts[0], dstars[0],
+        comps, c, w_cap, btile, pack, exclude, kt, w3, signed,
+        packed, orders[0], starts[0], splits[0], counts[0], dstars[0],
     )
     acc = pallas_msm._result_to_jac(comps, result)
     return _combine_partials(f, acc)
@@ -311,39 +312,54 @@ def sharded_msm(mesh: Mesh, group: str, batch: G.AffineBatch, scalars_canon: jnp
     gscalars = put_global(mesh, scalars_canon, P(AXIS, None))
 
     if _use_pallas_msm(per):
-        c = pallas_msm.pick_window(per)
+        signed = pallas_msm._signed_mode()
+        c = pallas_msm.pick_window_signed(per) if signed else pallas_msm.pick_window(per)
+        nb = 1 << (c - 1) if signed else 1 << c  # bucket lanes per window
         # phase 1: per-shard digit sort + bucket boundaries (vmapped over the
         # shard axis; stays sharded). The wave cap is data-dependent and must
         # be static for the Mosaic kernel: ONE host pull of the global max.
         ginf = gbatch.inf.reshape(ndev, per)
         gsc = gscalars.reshape(ndev, per, scalars_canon.shape[-1])
-        orders, starts, counts, dstars, occs = jax.vmap(
-            lambda s, i: pallas_msm._prep_windows(s, i, c)
-        )(gsc, ginf)
-        occ_all, occ2 = (int(v) for v in np.asarray(jnp.max(occs, axis=0)))
-        mean = max(1, per // (1 << c))
+        if signed:
+            orders, starts, splits, counts, dstars, occs = jax.vmap(
+                lambda s, i: pallas_msm._prep_windows_signed(s, i, c)
+            )(gsc, ginf)
+        else:
+            orders, starts, counts, dstars, occs = jax.vmap(
+                lambda s, i: pallas_msm._prep_windows(s, i, c)
+            )(gsc, ginf)
+            splits = starts
+        occ_all, occ2, occ_hot = (int(v) for v in np.asarray(jnp.max(occs, axis=0)))
+        mean = max(1, per // nb)
         gate = 4 * mean + 64
         comps = 1 if group == "g1" else 2
         pack = pallas_msm._pack_factor(per)
         while pack > 1 and per % pack:
             pack //= 2
         exclude = None
+        w3 = 0
         if 0 < occ_all <= gate:
-            exclude, w_cap = False, pallas_msm._wave_cap(occ_all, pack)
-        elif 0 < occ_all and occ2 <= gate and (per // pack) % (1 << c) == 0:
-            # single-hot-bucket skew: dense hot-run pass per shard
-            exclude, w_cap = True, pallas_msm._wave_cap(max(occ2, 1), pack)
+            exclude, w_cap = False, pallas_msm._wave_cap(occ_all, pack, nb)
+        elif 0 < occ_all and occ2 <= gate:
+            # single-hot-bucket skew: bounded dense hot-run pass per shard
+            exclude, w_cap = True, pallas_msm._wave_cap(max(occ2, 1), pack, nb)
+            blocks = -(-(per // pack) // nb)
+            w3 = (occ_hot // pack) // nb + 3
+            if w3 > 8:
+                w3 = -(-w3 // 8) * 8
+            w3 = min(w3, blocks)
         if exclude is not None:
-            btile = min(2048, 1 << c)
+            btile = min(2048, nb)
             with fp.force_rolled():  # rolled glue for the combine tree-adds
                 fn = shard_map(
                     functools.partial(
                         _msm_local_pallas, f, comps, c, w_cap, btile, pack, exclude,
-                        pallas_msm._kt_mode(comps, pack),
+                        pallas_msm._kt_mode(comps, pack), w3, signed,
                     ),
                     mesh=mesh,
                     in_specs=(
                         pspec,
+                        P(AXIS, None, None),
                         P(AXIS, None, None),
                         P(AXIS, None, None),
                         P(AXIS, None, None),
@@ -352,7 +368,7 @@ def sharded_msm(mesh: Mesh, group: str, batch: G.AffineBatch, scalars_canon: jnp
                     out_specs=out_specs,
                     check_vma=False,
                 )
-                return fn(gbatch, orders, starts, counts, dstars)
+                return fn(gbatch, orders, starts, splits, counts, dstars)
         # adversarial skew: fall through to the XLA bucket path
 
     c = msm_mod.pick_window(per) if per >= 64 else 0

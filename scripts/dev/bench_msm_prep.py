@@ -72,7 +72,9 @@ def main(log2n=20):
 
     print(f"== N=2^{log2n} c={c} nwin={nwin} pack={pack} ==", flush=True)
 
-    t_cur = timeit("prep current (scan argsorts)", lambda: pallas_msm._prep_windows(scalars, inf, c))
+    # NOTE: _prep_windows itself became the batched variadic sort in r4; the
+    # two rows below differ only in the occupancy-summary tail (ADVICE r4).
+    t_cur = timeit("prep current (batched)", lambda: pallas_msm._prep_windows(scalars, inf, c))
     t_bat = timeit("prep batched (one variadic sort)", lambda: prep_batched(scalars, inf, c))
 
     orders, starts, counts, _ = jax.tree.map(lambda a: a, prep_batched(scalars, inf, c))

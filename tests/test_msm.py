@@ -183,6 +183,88 @@ def test_msm_pallas_hot_bucket_ones_mix():
     not os.environ.get("PHASE2_TPU_SLOW_TESTS"),
     reason="G2 interpret-mode pipeline is compile-heavy on XLA:CPU",
 )
+def test_msm_pallas_signed_g1():
+    """Signed-digit Pippenger (round 5): B = 2^(c-1) buckets, negatives-first
+    bucket runs with the sign recovered from split positions, all-lane
+    suffix weights. Includes zero scalars, r-1 (maximally negative digits),
+    an infinity lane, and duplicate points."""
+    import jax
+
+    from phase2_bn254_tpu.ops import pallas_msm
+
+    n = 256
+    pts = [rc.G1_GEN.mul(random.randrange(1, R_MOD)) for _ in range(n)]
+    scalars = [random.randrange(R_MOD) for _ in range(n)]
+    pts[5] = pts[4]
+    scalars[5] = scalars[4]
+    scalars[7] = 0
+    scalars[11] = R_MOD - 1  # every signed digit path including top carry
+    scalars[12] = 1
+    batch = codecs.points_to_batch(pts, "g1")
+    batch = G.AffineBatch(batch.x, batch.y, batch.inf.at[9].set(True))
+    sc = jnp.asarray(np.stack([fp.int_to_limbs(s) for s in scalars]))
+    jac = pallas_msm.msm_pallas_or_none("g1", batch, sc, c=8, btile=128, signed=True)
+    assert jac is not None
+    f = _field_ops("g1")
+    out = G.jac_normalize(f, jax.tree.map(lambda a: a[None], jac))
+    got = codecs.batch_to_points(out, "g1")[0]
+    want = _naive_msm(
+        [p for i, p in enumerate(pts) if i != 9],
+        [s for i, s in enumerate(scalars) if i != 9],
+    )
+    assert got == want
+
+
+def test_msm_pallas_signed_pack_and_hot_bucket():
+    """Signed mode x pack=4 x single-hot-bucket exclusion: all-equal scalars
+    (every window one hot |digit| bucket; the dense pass must honor the
+    negatives-first split) plus a ones crowd."""
+    import jax
+
+    from phase2_bn254_tpu.ops import pallas_msm
+
+    f = _field_ops("g1")
+    for scal_fn in (
+        lambda n: [12345678901234567890] * n,  # constant with negative digits
+        lambda n: [1] * (n // 2) + [random.randrange(R_MOD) for _ in range(n // 2)],
+    ):
+        n = 512
+        pts = [rc.G1_GEN.mul(random.randrange(1, R_MOD)) for _ in range(n)]
+        scalars = scal_fn(n)
+        batch = codecs.points_to_batch(pts, "g1")
+        sc = jnp.asarray(np.stack([fp.int_to_limbs(s) for s in scalars]))
+        jac = pallas_msm.msm_pallas_or_none(
+            "g1", batch, sc, c=8, btile=128, pack=4, signed=True
+        )
+        assert jac is not None, "signed hot-bucket input fell off the Pallas path"
+        out = G.jac_normalize(f, jax.tree.map(lambda a: a[None], jac))
+        got = codecs.batch_to_points(out, "g1")[0]
+        assert got == _naive_msm(pts, scalars)
+
+
+def test_msm_pallas_signed_g2():
+    """Signed-digit path over Fq2 coordinates (tri-state valid + component
+    negate in the wave kernel)."""
+    import jax
+
+    from phase2_bn254_tpu.ops import pallas_msm
+
+    n = 128
+    pts = [rc.G2_GEN.mul(random.randrange(1, R_MOD)) for _ in range(n)]
+    scalars = [random.randrange(R_MOD) for _ in range(n)]
+    batch = codecs.points_to_batch(pts, "g2")
+    sc = jnp.asarray(np.stack([fp.int_to_limbs(s) for s in scalars]))
+    jac = pallas_msm.msm_pallas_or_none("g2", batch, sc, c=8, btile=128, signed=True)
+    assert jac is not None
+    f = _field_ops("g2")
+    out = G.jac_normalize(f, jax.tree.map(lambda a: a[None], jac))
+    got = codecs.batch_to_points(out, "g2")[0]
+    acc = rc.point_zero("g2")
+    for p, s in zip(pts, scalars):
+        acc = acc.add(p.mul(s))
+    assert got == acc
+
+
 def test_msm_pallas_pipeline_g2():
     import jax
 
