@@ -287,11 +287,15 @@ METRICS = [
     ("fr_ntt_2^22", 100.0, lambda: _entry_ntt("fr_ntt_2^22", 22, reps=2)),
     ("fr_ntt_2^24", 120.0, lambda: _entry_ntt("fr_ntt_2^24", 24, reps=2)),
     ("g2_batch_exp_2^16", 190.0, lambda: _entry_batch_exp("g2_batch_exp_2^16", "g2", 16, reps=3, g2=True)),
-    ("contribute_e2e_size14", 180.0, lambda: _entry_contribute("contribute_e2e_size14", 14, 1 << 13)),
     # large production chunk shape (full 2^21 as ONE kernel call OOMs the
     # remote compile helper; real ceremonies stream 2^16..2^19 chunks —
     # batched_accumulator.rs:1119 equivalent)
     ("g1_batch_exp_2^19", 200.0, lambda: _entry_batch_exp("g1_batch_exp_2^19", "g1", 19, reps=2)),
+    # LAST + honest cost: two full size-14 contributes (one warm-up) run
+    # 540+ s even on a warm compile cache; at the driver's default 900 s
+    # budget this metric is skipped-with-reason instead of starving the
+    # cheaper metrics behind it (r5 final board lesson)
+    ("contribute_e2e_size14", 600.0, lambda: _entry_contribute("contribute_e2e_size14", 14, 1 << 13)),
 ]
 if os.environ.get("PHASE2_TPU_BENCH_SELFTEST"):
     # Orchestration self-test (tests/test_bench.py): synthetic metrics that

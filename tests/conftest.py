@@ -20,16 +20,16 @@ jax.config.update("jax_platforms", "cpu")
 # cache is configured explicitly below.
 os.environ.setdefault("PHASE2_TPU_NO_CACHE", "1")
 
-# Persistent XLA:CPU compilation cache for the test suite. The suite's cost
-# is almost entirely XLA:CPU compiles (~36 min parallel cold); a warm cache
-# turns reruns into minutes. Round 1 disabled this after AOT-reload
-# crashes; re-validated 2026-08-17 on jax 0.9.0: entries written and
-# reloaded by the SAME machine+flags work (the loader's noisy
-# "prefer-no-scatter/gather" feature warnings are synthetic tuning prefs,
-# not ISA mismatches). The cache dir is keyed by platform+devcount and
-# lives under the repo so a different machine starts cold rather than
-# loading foreign AOT code. PHASE2_TPU_TEST_NO_CACHE=1 kills it.
-if not os.environ.get("PHASE2_TPU_TEST_NO_CACHE"):
+# Persistent XLA:CPU compilation cache for the test suite — OPT-IN via
+# PHASE2_TPU_TEST_CACHE=1. The suite's cost is almost entirely XLA:CPU
+# compiles (~36 min parallel cold) and a warm cache turns reruns into
+# minutes, BUT reloading serialized executables that contain Pallas
+# interpret-mode custom calls segfaults INTERMITTENTLY across processes
+# (observed repeatedly 2026-08-20: xdist workers die in
+# compilation_cache.get_executable_and_time mid-suite — the same
+# AOT-reload crash class round 1 hit). A default suite run must be green
+# on a fresh checkout, so correctness wins over warm-rerun speed.
+if os.environ.get("PHASE2_TPU_TEST_CACHE"):
     import platform as _platform
 
     _cache_dir = os.path.join(
