@@ -329,7 +329,10 @@ def _rows_per_tile(log2_rows_total: int, log2_lanes: int) -> int:
     compile time) scales with 16 * rows/8 * C/128 per op site - the old 4 MiB
     tiles put the 2^20+ compiles in the tens of minutes. Tile count only adds
     grid overhead (ns per tile), so small tiles are near-free at run time."""
+    import os
+
     total = 1 << log2_rows_total
-    budget = (1 << 20) // (NLIMBS * (1 << log2_lanes) * 4)
+    mb = float(os.environ.get("PHASE2_TPU_NTT_TILE_MB", 1.0))
+    budget = int(mb * (1 << 20)) // (NLIMBS * (1 << log2_lanes) * 4)
     rows = max(8, 1 << max(budget.bit_length() - 1, 0))
     return min(rows, total)
